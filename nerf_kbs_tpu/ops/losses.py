@@ -1,0 +1,192 @@
+"""Training losses.
+
+Covers the reference's loss surface (nerfacto.py:465-565, semantic_nerfw.py:249-293):
+RGB MSE, interlevel (proposal) loss, distortion loss, orientation loss,
+predicted-normal loss, scale-and-shift-invariant monocular depth loss,
+semantic cross-entropy with a vectorized color->label lookup (replacing the
+reference's per-pixel Python loop, semantic_nerfw.py:272-275 — a noted perf
+sin), and the NeRF-W uncertainty-weighted RGB + transient-density losses.
+All pure jnp over batch tensors; everything traces into the train step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# photometric
+# ---------------------------------------------------------------------------
+
+
+def mse_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - gt) ** 2)
+
+
+def uncertainty_rgb_loss(gt: jnp.ndarray, rgb: jnp.ndarray, betas: jnp.ndarray):
+    """NeRF-W: attenuated MSE + log-beta regularizer (capability of reference
+    semantic_nerfw.py:260-262: ((img-rgb)^2/beta^2).mean() and 3 + log(beta).mean()).
+    Returns (rgb_term, beta_term)."""
+    rgb_term = jnp.mean((gt - rgb) ** 2 / (betas**2))
+    beta_term = 3.0 + jnp.mean(jnp.log(betas))
+    return rgb_term, beta_term
+
+
+# ---------------------------------------------------------------------------
+# proposal supervision (mip-NeRF 360)
+# ---------------------------------------------------------------------------
+
+
+def _outer_weights(t_query: jnp.ndarray, t_env: jnp.ndarray, w_env: jnp.ndarray):
+    """For each query interval [t_query_i, t_query_{i+1}), the total envelope
+    weight of env bins overlapping it (inclusive outer measure).
+
+    t_query: (R, Sq+1) edges; t_env: (R, Se+1) edges; w_env: (R, Se).
+    """
+    cw = jnp.concatenate(
+        [jnp.zeros_like(w_env[..., :1]), jnp.cumsum(w_env, axis=-1)], axis=-1
+    )  # (R, Se+1)
+
+    # index of rightmost env edge <= x  (per ray)
+    def lookup(x):
+        inds = jax.vmap(lambda e, q: jnp.searchsorted(e, q, side="right"))(t_env, x) - 1
+        return jnp.clip(inds, 0, t_env.shape[-1] - 1)
+
+    idx_lo = lookup(t_query[..., :-1])  # env bin containing query start
+    idx_hi = lookup(t_query[..., 1:])  # env bin containing query end
+    # outer sum: cw[min(idx_hi + 1, Se)] - cw[idx_lo]
+    hi = jnp.clip(idx_hi + 1, 0, w_env.shape[-1])
+    lo = jnp.clip(idx_lo, 0, w_env.shape[-1])
+    return jnp.take_along_axis(cw, hi, axis=-1) - jnp.take_along_axis(cw, lo, axis=-1)
+
+
+def interlevel_loss(final_samples, final_weights: jnp.ndarray, history) -> jnp.ndarray:
+    """Proposal loss L = E[ max(0, w - w_outer)^2 / (w + eps) ]: the proposal
+    histograms must upper-bound the final (detached) weights
+    (reference loss surface nerfacto.py:471-477 via nerfstudio
+    interlevel_loss; mip-NeRF 360 'lossfun_outer')."""
+    t_final = jnp.concatenate(
+        [final_samples.spacing_starts, final_samples.spacing_ends[..., -1:]], axis=-1
+    )
+    w_final = jax.lax.stop_gradient(final_weights)
+    loss = 0.0
+    for prop_samples, prop_weights in history:
+        t_env = jnp.concatenate(
+            [prop_samples.spacing_starts, prop_samples.spacing_ends[..., -1:]], axis=-1
+        )
+        w_outer = _outer_weights(t_final, t_env, prop_weights)
+        loss = loss + jnp.mean(
+            jnp.maximum(w_final - w_outer, 0.0) ** 2 / (w_final + 1e-7)
+        )
+    return loss
+
+
+def distortion_loss(samples, weights: jnp.ndarray) -> jnp.ndarray:
+    """mip-NeRF 360 distortion regularizer in the normalized spacing domain,
+    O(S) bidirectional form (reference applies it with mult 0.002,
+    nerfacto.py:193,478-480)."""
+    m = 0.5 * (samples.spacing_starts + samples.spacing_ends)
+    interval = samples.spacing_ends - samples.spacing_starts
+    loss_uni = jnp.sum(weights**2 * interval, axis=-1) / 3.0
+    # sum_{i>j} w_i w_j (m_i - m_j) computed with exclusive prefix sums
+    w_cum = jnp.cumsum(weights, axis=-1) - weights
+    wm_cum = jnp.cumsum(weights * m, axis=-1) - weights * m
+    loss_bi = 2.0 * jnp.sum(weights * (m * w_cum - wm_cum), axis=-1)
+    return jnp.mean(loss_uni + loss_bi)
+
+
+# ---------------------------------------------------------------------------
+# normals
+# ---------------------------------------------------------------------------
+
+
+def orientation_loss(
+    weights: jnp.ndarray, normals: jnp.ndarray, view_dirs: jnp.ndarray
+) -> jnp.ndarray:
+    """Penalize normals facing away from the camera: w * max(0, n . d)^2
+    (Ref-NeRF; reference mult 1e-4, nerfacto.py:194-196,482-494)."""
+    n_dot_v = jnp.sum(normals * view_dirs[..., None, :], axis=-1)
+    return jnp.mean(jnp.sum(weights * jnp.maximum(n_dot_v, 0.0) ** 2, axis=-1))
+
+
+def pred_normal_loss(
+    weights: jnp.ndarray, normals: jnp.ndarray, pred_normals: jnp.ndarray
+) -> jnp.ndarray:
+    """w * (1 - n . n_pred): tie predicted normals to density-gradient normals
+    (reference mult 1e-3, nerfacto.py:197-199)."""
+    sim = jnp.sum(normals * pred_normals, axis=-1)
+    return jnp.mean(jnp.sum(weights * (1.0 - sim), axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# depth
+# ---------------------------------------------------------------------------
+
+
+def normalized_depth_scale_and_shift(
+    pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray
+):
+    """Closed-form least-squares (scale, shift) aligning pred to gt over the
+    masked region (per leading batch dim if 2-D). Mirrors the alignment the
+    reference uses in eval (nerfacto.py:616-627) and the monocular depth loss."""
+    a00 = jnp.sum(mask * pred * pred, axis=-1)
+    a01 = jnp.sum(mask * pred, axis=-1)
+    a11 = jnp.sum(mask, axis=-1)
+    b0 = jnp.sum(mask * pred * gt, axis=-1)
+    b1 = jnp.sum(mask * gt, axis=-1)
+    det = a00 * a11 - a01 * a01
+    valid = det > 1e-9
+    scale = jnp.where(valid, (a11 * b0 - a01 * b1) / jnp.where(valid, det, 1.0), 0.0)
+    shift = jnp.where(valid, (-a01 * b0 + a00 * b1) / jnp.where(valid, det, 1.0), 0.0)
+    return scale, shift
+
+
+def monodepth_loss(
+    termination_depth: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Scale-and-shift-invariant monocular depth loss (MiDaS-style): align the
+    predicted depth to GT with closed-form scale/shift, then masked MSE
+    (capability of the reference's mono_depth loss, nerfacto.py:516-527,
+    mults 0.01 / 0.001 at nerfacto.py:216, semantic_nerfw.py:71)."""
+    pred = termination_depth.reshape(1, -1)
+    gt = gt_depth.reshape(1, -1)
+    m = jnp.ones_like(gt) if mask is None else mask.reshape(1, -1).astype(gt.dtype)
+    scale, shift = normalized_depth_scale_and_shift(pred, gt, m)
+    aligned = scale[:, None] * pred + shift[:, None]
+    denom = jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.sum(m * (aligned - gt) ** 2) / denom
+
+
+def euclidean_depth_loss(
+    termination_depth: jnp.ndarray, gt_depth: jnp.ndarray, mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Direct (metric) depth MSE for is_euclidean_depth datasets
+    (reference flag nerfacto.py:217-218)."""
+    err = (termination_depth - gt_depth) ** 2
+    if mask is None:
+        return jnp.mean(err)
+    m = mask.astype(err.dtype)
+    return jnp.sum(m * err) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# semantics
+# ---------------------------------------------------------------------------
+
+
+def colors_to_labels(pixel_colors: jnp.ndarray, class_colors: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized color->class lookup: nearest class color in L1 distance.
+    pixel_colors (B, 3) in [0, 1]; class_colors (K, 3) in [0, 1] -> (B,) int32.
+    Replaces the reference's per-pixel Python list comprehension
+    (semantic_nerfw.py:272-275) with one (B, K) distance matmul-shaped op."""
+    d = jnp.sum(jnp.abs(pixel_colors[:, None, :] - class_colors[None, :, :]), axis=-1)
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def semantic_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean cross-entropy over (B, K) logits and (B,) int labels
+    (reference semantic CE, semantic_nerfw.py:269-279, weight 0.05)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))

@@ -1,0 +1,230 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_kbs_tpu.cameras.cameras import RayBundle
+from nerf_kbs_tpu.ops import losses as L
+from nerf_kbs_tpu.ops import rendering as R
+from nerf_kbs_tpu.ops import samplers as S
+from nerf_kbs_tpu.ops.metrics import psnr, ssim, masked_psnr
+
+
+def make_rays(n=8, near=0.1, far=10.0):
+    origins = jnp.zeros((n, 3))
+    dirs = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1))
+    return RayBundle(
+        origins=origins,
+        directions=dirs,
+        pixel_area=jnp.full((n, 1), 1e-4),
+        camera_indices=jnp.zeros((n, 1), jnp.int32),
+        directions_norm=jnp.ones((n, 1)),
+        nears=jnp.full((n, 1), near),
+        fars=jnp.full((n, 1), far),
+    )
+
+
+# ---------------------------------------------------------------- samplers
+
+
+def test_uniform_sampler_deterministic_uniform_spacing():
+    rays = make_rays(4, near=1.0, far=5.0)
+    rs = S.uniform_sampler(rays, 16, spacing="uniform")
+    np.testing.assert_allclose(rs.starts[:, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(rs.ends[:, -1], 5.0, atol=1e-6)
+    np.testing.assert_allclose(rs.deltas, 4.0 / 16, atol=1e-6)
+
+
+def test_uniform_sampler_jitter_stays_sorted_and_bounded():
+    rays = make_rays(32, near=0.5, far=8.0)
+    rs = S.uniform_sampler(rays, 24, spacing="piecewise", key=jax.random.PRNGKey(0),
+                           single_jitter=False)
+    assert float(jnp.min(rs.deltas)) > 0
+    assert float(jnp.min(rs.starts)) >= 0.5 - 1e-6
+    assert float(jnp.max(rs.ends)) <= 8.0 + 1e-5
+    # spacing domain within [0,1]
+    assert float(rs.spacing_starts.min()) >= 0 and float(rs.spacing_ends.max()) <= 1
+
+
+def test_piecewise_spacing_properties():
+    near = jnp.array([[0.05]])
+    far = jnp.array([[1000.0]])
+    s = jnp.linspace(0, 1, 11)[None]
+    t = S.spacing_to_euclidean(s, near, far, "piecewise")
+    assert float(t[0, 0]) == pytest.approx(0.05)
+    assert float(t[0, -1]) == pytest.approx(1000.0, rel=1e-4)
+    assert float(t[0, 5]) == pytest.approx(1.05, rel=1e-5)  # s=0.5 -> near+1
+    assert bool(jnp.all(jnp.diff(t[0]) > 0))
+
+
+def test_pdf_sampler_concentrates_mass():
+    rays = make_rays(1, near=0.0, far=1.0)
+    init = S.uniform_sampler(rays, 64, spacing="uniform")
+    # weights: a delta bump in [0.5, 0.55]
+    mid = np.asarray(init.midpoints[0])
+    w = jnp.array(((mid > 0.5) & (mid < 0.55)).astype(np.float32))[None]
+    rs = S.pdf_sampler(rays, init, w, 32, spacing="uniform",
+                       key=jax.random.PRNGKey(1), histogram_padding=0.0)
+    frac_in_bump = float(jnp.mean(((rs.midpoints > 0.48) & (rs.midpoints < 0.57))))
+    assert frac_in_bump > 0.9
+    assert bool(jnp.all(rs.deltas >= 0))
+
+
+def test_pdf_sampler_uniform_weights_reproduce_uniform():
+    rays = make_rays(2, near=0.0, far=1.0)
+    init = S.uniform_sampler(rays, 32, spacing="uniform")
+    w = jnp.ones((2, 32))
+    rs = S.pdf_sampler(rays, init, w, 16, spacing="uniform", key=None)
+    np.testing.assert_allclose(np.asarray(rs.deltas), 1.0 / 17, atol=1e-3)
+
+
+def test_anneal_schedule():
+    assert float(S.anneal_schedule(jnp.array(0))) == pytest.approx(0.0)
+    assert float(S.anneal_schedule(jnp.array(1000))) == pytest.approx(1.0)
+    assert 0.5 < float(S.anneal_schedule(jnp.array(100))) < 1.0  # fast ramp
+
+
+def test_proposal_chain_shapes():
+    rays = make_rays(4, near=0.05, far=100.0)
+
+    def dens_fn(pos):
+        return jnp.ones(pos.shape[:-1]) * 0.1
+
+    final, hist = S.proposal_sample(
+        rays, [dens_fn, dens_fn], (64, 32), 16, key=jax.random.PRNGKey(0)
+    )
+    assert final.starts.shape == (4, 16)
+    assert [h[0].starts.shape[-1] for h in hist] == [64, 32]
+    assert [h[1].shape for h in hist] == [(4, 64), (4, 32)]
+
+
+# ---------------------------------------------------------------- rendering
+
+
+def test_render_weights_constant_density_closed_form():
+    sigma = 2.0
+    delta = 0.25
+    density = jnp.full((3, 16), sigma)
+    deltas = jnp.full((3, 16), delta)
+    w = R.render_weights(density, deltas)
+    # closed form: w_i = exp(-sigma*delta*i) * (1 - exp(-sigma*delta))
+    i = np.arange(16)
+    expected = np.exp(-sigma * delta * i) * (1 - np.exp(-sigma * delta))
+    np.testing.assert_allclose(np.asarray(w[0]), expected, rtol=1e-5)
+    assert float(jnp.sum(w, -1).max()) <= 1.0 + 1e-6
+
+
+def test_render_weights_opaque_first_sample():
+    density = jnp.zeros((1, 8)).at[0, 0].set(1e8)
+    deltas = jnp.full((1, 8), 0.1)
+    w = R.render_weights(density, deltas)
+    assert float(w[0, 0]) == pytest.approx(1.0)
+    np.testing.assert_allclose(np.asarray(w[0, 1:]), 0.0, atol=1e-12)
+
+
+def test_rgb_and_depth_renderers():
+    rays = make_rays(1, near=0.0, far=1.0)
+    rs = S.uniform_sampler(rays, 10, spacing="uniform")
+    # opaque at sample 4 (t = 0.45)
+    density = jnp.zeros((1, 10)).at[0, 4].set(1e8)
+    w = R.render_weights(density, rs.deltas)
+    rgb = jnp.tile(jnp.linspace(0, 1, 10)[None, :, None], (1, 1, 3))
+    out = R.render_rgb(w, rgb, background="last_sample")
+    np.testing.assert_allclose(np.asarray(out[0]), 4 / 9, atol=1e-5)
+    d_med = R.render_median_depth(w, rs)
+    d_exp = R.render_expected_depth(w, rs)
+    assert float(d_med[0, 0]) == pytest.approx(0.45, abs=1e-6)
+    assert float(d_exp[0, 0]) == pytest.approx(0.45, abs=1e-4)
+    # empty ray: background fills rgb
+    w0 = jnp.zeros((1, 10))
+    np.testing.assert_allclose(
+        np.asarray(R.render_rgb(w0, rgb, background="white")[0]), 1.0, atol=1e-6
+    )
+    assert float(R.render_accumulation(w0)[0, 0]) == 0.0
+
+
+def test_colliders():
+    rays = make_rays(2)
+    rb = R.near_far_collider(rays, 0.05, 1000.0)
+    assert float(rb.nears[0, 0]) == pytest.approx(0.05) and float(rb.fars[0, 0]) == 1000.0
+    # box collider: rays at origin looking -z, box z in [-5, -2]
+    aabb = jnp.array([[-1.0, -1.0, -5.0], [1.0, 1.0, -2.0]])
+    rb2 = R.aabb_box_collider(rays, aabb)
+    assert float(rb2.nears[0, 0]) == pytest.approx(2.0)
+    assert float(rb2.fars[0, 0]) == pytest.approx(5.0)
+
+
+# ---------------------------------------------------------------- losses
+
+
+def test_distortion_loss_matches_quadratic_oracle(rng):
+    rays = make_rays(4, near=0.0, far=1.0)
+    rs = S.uniform_sampler(rays, 24, spacing="uniform")
+    w = jnp.array(rng.uniform(0, 1, (4, 24)), jnp.float32)
+    loss = float(L.distortion_loss(rs, w))
+    m = np.asarray((rs.spacing_starts + rs.spacing_ends) / 2)
+    iv = np.asarray(rs.spacing_ends - rs.spacing_starts)
+    wn = np.asarray(w)
+    oracle = 0.0
+    for r in range(4):
+        oracle += np.sum(wn[r] ** 2 * iv[r]) / 3
+        oracle += np.sum(wn[r][:, None] * wn[r][None, :] * np.abs(m[r][:, None] - m[r][None, :]))
+    assert loss == pytest.approx(oracle / 4, rel=1e-4)
+
+
+def test_interlevel_loss_zero_when_envelope_covers():
+    rays = make_rays(2, near=0.0, far=1.0)
+    fine = S.uniform_sampler(rays, 16, spacing="uniform")
+    coarse = S.uniform_sampler(rays, 8, spacing="uniform")
+    w_fine = jnp.full((2, 16), 1.0 / 16)
+    w_coarse = jnp.full((2, 8), 1.0 / 8)  # same total mass everywhere
+    loss = float(L.interlevel_loss(fine, w_fine, [(coarse, w_coarse)]))
+    assert loss == pytest.approx(0.0, abs=1e-9)
+    # now proposal misses the mass -> positive loss, grads flow to proposal
+    w_bad = jnp.concatenate([jnp.full((2, 4), 0.25), jnp.zeros((2, 4))], -1)
+    g = jax.grad(lambda wb: L.interlevel_loss(fine, w_fine, [(coarse, wb)]))(w_bad)
+    assert float(L.interlevel_loss(fine, w_fine, [(coarse, w_bad)])) > 0
+    assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_depth_scale_shift_recovery(rng):
+    gt = jnp.array(rng.uniform(1, 10, (1, 256)), jnp.float32)
+    pred = (gt - 2.0) / 3.0  # gt = 3*pred + 2
+    scale, shift = L.normalized_depth_scale_and_shift(pred, gt, jnp.ones_like(gt))
+    assert float(scale[0]) == pytest.approx(3.0, rel=1e-4)
+    assert float(shift[0]) == pytest.approx(2.0, rel=1e-3)
+    assert float(L.monodepth_loss(pred, gt)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_colors_to_labels_and_semantic_loss():
+    class_colors = jnp.array([[0.0, 0, 0], [1.0, 0, 0], [0.0, 1, 0]])
+    pix = jnp.array([[0.05, 0, 0], [0.9, 0.1, 0], [0, 1.0, 0.02]])
+    labels = L.colors_to_labels(pix, class_colors)
+    np.testing.assert_array_equal(np.asarray(labels), [0, 1, 2])
+    logits = jnp.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+    assert float(L.semantic_loss(logits, labels)) < 1e-3
+
+
+def test_uncertainty_losses():
+    gt = jnp.ones((8, 3)) * 0.5
+    rgb = jnp.ones((8, 3)) * 0.5
+    betas = jnp.full((8, 1), 0.5)
+    rgb_term, beta_term = L.uncertainty_rgb_loss(gt, rgb, betas)
+    assert float(rgb_term) == 0.0
+    assert float(beta_term) == pytest.approx(3.0 + np.log(0.5), rel=1e-5)
+
+
+# ---------------------------------------------------------------- metrics
+
+
+def test_psnr_ssim(rng):
+    img = jnp.array(rng.uniform(0, 1, (32, 48, 3)), jnp.float32)
+    assert float(psnr(img, img)) > 100
+    assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+    noisy = jnp.clip(img + 0.1, 0, 1)
+    assert float(psnr(img, noisy)) < 25
+    assert float(ssim(img, noisy)) < 1.0
+    # masked psnr ignores masked-out garbage
+    garbage = img.at[:16].set(0.0)
+    mask = jnp.zeros((32, 48)).at[16:].set(1.0)
+    assert float(masked_psnr(garbage, img, mask)) > 100
