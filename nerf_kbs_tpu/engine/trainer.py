@@ -1,0 +1,275 @@
+"""Trainer: the compiled train step + host loop with eval cadence and
+checkpointing.
+
+Capability parity with the nerfstudio Trainer as the reference configures it
+(train.py:42-101: max_num_iterations 30000, steps_per_save 2000,
+steps_per_eval_image 500, steps_per_eval_batch 500, steps_per_eval_all_images
+10000, mixed_precision, per-group optimizers, eval_num_rays_per_chunk 1<<16)
+— redesigned TPU-first:
+
+- ONE jit-compiled train step (forward + loss + grad + per-group optax update)
+  with donated params/optimizer state; the step index is a traced scalar so
+  the anneal schedule never triggers recompilation;
+- data parallelism by construction: the ray batch enters with a 'data'-axis
+  NamedSharding over the mesh, params replicated — XLA inserts the psum over
+  ICI (no DDP/grad-scaler machinery; bf16 needs no loss scaling);
+- full-image eval renders in fixed-size ray chunks (reference
+  eval_num_rays_per_chunk, train.py:77) through the same forward fn;
+- Orbax checkpointing of {params, opt_state, step} (replaces
+  nerfstudio's torch save, steps_per_save=2000 train.py:46).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_kbs_tpu.cameras.cameras import Cameras, generate_rays
+from nerf_kbs_tpu.engine.optimizers import OptimizerConfig, build_optimizer
+from nerf_kbs_tpu.ops.metrics import psnr as psnr_fn
+from nerf_kbs_tpu.ops.metrics import ssim as ssim_fn
+from nerf_kbs_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Engine-cadence config (reference TrainerConfig surface, train.py:42-101)."""
+
+    method_name: str = "nerfacto"
+    experiment_name: str = "exp"
+    output_dir: str = "outputs"
+    max_num_iterations: int = 30000
+    steps_per_save: int = 2000
+    steps_per_eval_batch: int = 500
+    steps_per_eval_image: int = 500
+    steps_per_eval_all_images: int = 10000
+    eval_num_rays_per_chunk: int = 1 << 15
+    mixed_precision: bool = True
+    seed: int = 42
+    log_every: int = 10
+    load_dir: Optional[str] = None
+    save_only_latest: bool = True
+
+
+class Trainer:
+    """Drives one model module (init/forward/loss/param_groups) over a
+    datamanager."""
+
+    def __init__(
+        self,
+        config: TrainerConfig,
+        model_module: Any,
+        model_config: Any,
+        optimizers: dict[str, OptimizerConfig],
+        datamanager: Any,
+        mesh=None,
+    ):
+        self.config = config
+        self.model = model_module
+        self.model_config = model_config
+        self.dm = datamanager
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        self.out_dir = Path(config.output_dir) / config.experiment_name / config.method_name
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self._metrics_file = self.out_dir / "metrics.jsonl"
+
+        key = jax.random.PRNGKey(config.seed)
+        self.params = self.model.init(key, model_config)
+        self.optimizer = build_optimizer(optimizers, self.model.param_groups(self.params))
+        self.opt_state = self.optimizer.init(self.params)
+        self.step = 0
+
+        # replicate state + cameras on the mesh
+        self.params = replicate(self.mesh, self.params)
+        self.opt_state = replicate(self.mesh, self.opt_state)
+        self.train_cameras: Cameras = replicate(self.mesh, self.dm.train_cameras)
+        self.eval_cameras: Cameras = replicate(self.mesh, self.dm.eval_cameras)
+        self._base_key = jax.random.PRNGKey(config.seed + 1)
+
+        self._train_step = self._build_train_step()
+        self._render_chunk = self._build_render_chunk()
+
+        if config.load_dir is not None:
+            self.load_checkpoint(config.load_dir)
+
+    # ------------------------------------------------------------------ jit
+    def _build_train_step(self) -> Callable:
+        model, mcfg, optimizer = self.model, self.model_config, self.optimizer
+
+        def train_step(params, opt_state, cameras, batch, key, step):
+            rays = generate_rays(cameras, batch["ray_indices"])
+
+            def loss_fn(p):
+                out = model.forward(p, mcfg, rays, key=key, step=step, train=True)
+                return model.loss(mcfg, out, batch, train=True)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            import optax
+
+            params = optax.apply_updates(params, updates)
+            metrics["total_loss"] = loss
+            return params, opt_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def _build_render_chunk(self) -> Callable:
+        model, mcfg = self.model, self.model_config
+
+        def render_chunk(params, cameras, ray_indices):
+            rays = generate_rays(cameras, ray_indices)
+            out = model.forward(params, mcfg, rays, key=None, step=0, train=False)
+            keep = {k: v for k, v in out.items()
+                    if k in ("rgb", "depth", "expected_depth", "accumulation", "semantics")}
+            return keep
+
+        return jax.jit(render_chunk)
+
+    # ----------------------------------------------------------------- loop
+    def train(self, num_iterations: Optional[int] = None) -> dict:
+        cfg = self.config
+        end = self.step + (num_iterations or cfg.max_num_iterations)
+        t0 = time.perf_counter()
+        rays_done = 0
+        last_metrics: dict = {}
+        while self.step < end:
+            batch = self.dm.next_train(self.step)
+            batch = shard_batch(self.mesh, batch)
+            key = jax.random.fold_in(self._base_key, self.step)
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, self.train_cameras, batch,
+                key, jnp.asarray(self.step, jnp.float32),
+            )
+            rays_done += batch["ray_indices"].shape[0]
+            self.step += 1
+
+            if self.step % cfg.log_every == 0 or self.step == end:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                metrics["rays_per_sec"] = rays_done / dt
+                metrics["step"] = self.step
+                self._log(metrics)
+                last_metrics = metrics
+                t0 = time.perf_counter()
+                rays_done = 0
+            if self.step % cfg.steps_per_eval_image == 0:
+                idx = int(np.random.default_rng(self.step).integers(self.dm.num_eval_images()))
+                em = self.eval_image(idx)
+                self._log({"step": self.step, **{f"eval_{k}": v for k, v in em.items()}})
+            if self.step % cfg.steps_per_eval_all_images == 0:
+                am = self.eval_all_images()
+                self._log({"step": self.step, **{f"eval_all_{k}": v for k, v in am.items()}})
+            if self.step % cfg.steps_per_save == 0:
+                self.save_checkpoint()
+        return last_metrics
+
+    # ----------------------------------------------------------------- eval
+    def render_camera(self, camera_idx: int, cameras: Optional[Cameras] = None) -> dict:
+        """Full-image render in eval_num_rays_per_chunk chunks (reference
+        chunked eval, SURVEY §3.3)."""
+        cameras = self.eval_cameras if cameras is None else cameras
+        h = int(cameras.height[camera_idx])
+        w = int(cameras.width[camera_idx])
+        yy, xx = np.mgrid[0:h, 0:w]
+        idx = np.stack(
+            [np.full(h * w, camera_idx), yy.reshape(-1), xx.reshape(-1)], -1
+        ).astype(np.int32)
+        chunk = self.config.eval_num_rays_per_chunk
+        n_dev = self.mesh.devices.size
+        chunk = max(chunk // n_dev * n_dev, n_dev)
+        total = idx.shape[0]
+        pad = (-total) % chunk
+        idx = np.concatenate([idx, np.tile(idx[-1:], (pad, 1))], 0) if pad else idx
+        outs: dict[str, list] = {}
+        for i in range(0, idx.shape[0], chunk):
+            part = shard_batch(self.mesh, {"ray_indices": idx[i : i + chunk]})
+            res = self._render_chunk(self.params, cameras, part["ray_indices"])
+            for k, v in res.items():
+                outs.setdefault(k, []).append(np.asarray(v))
+        return {
+            k: np.concatenate(v, 0)[:total].reshape(h, w, -1) for k, v in outs.items()
+        }
+
+    def eval_image(self, idx: int) -> dict:
+        outputs = self.render_camera(idx)
+        gt = self.dm.eval_image(idx)
+        pred = jnp.asarray(outputs["rgb"])
+        gt_img = jnp.asarray(gt["image"])
+        metrics = {
+            "psnr": float(psnr_fn(pred, gt_img)),
+            "ssim": float(ssim_fn(pred, gt_img)),
+            "image_idx": idx,
+        }
+        return metrics
+
+    def eval_all_images(self) -> dict:
+        ms = [self.eval_image(i) for i in range(self.dm.num_eval_images())]
+        return {
+            "psnr": float(np.mean([m["psnr"] for m in ms])),
+            "ssim": float(np.mean([m["ssim"] for m in ms])),
+            "num_images": len(ms),
+        }
+
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self) -> str:
+        import orbax.checkpoint as ocp
+
+        path = (self.out_dir / f"ckpt_{self.step:09d}").absolute()
+        with ocp.StandardCheckpointer() as ck:
+            ck.save(
+                path,
+                {
+                    "params": jax.device_get(self.params),
+                    "opt_state": jax.device_get(self.opt_state),
+                    "step": self.step,
+                },
+                force=True,
+            )
+        if self.config.save_only_latest:
+            for p in sorted(self.out_dir.glob("ckpt_*"))[:-1]:
+                import shutil
+
+                shutil.rmtree(p, ignore_errors=True)
+        return str(path)
+
+    def load_checkpoint(self, load_dir: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckpts = sorted(Path(load_dir).glob("ckpt_*"))
+        if not ckpts:
+            raise FileNotFoundError(f"no checkpoints under {load_dir}")
+        template = {
+            "params": jax.device_get(self.params),
+            "opt_state": jax.device_get(self.opt_state),
+            "step": self.step,
+        }
+        with ocp.StandardCheckpointer() as ck:
+            restored = ck.restore(ckpts[-1].absolute(), template)
+        self.params = replicate(self.mesh, restored["params"])
+        self.opt_state = replicate(self.mesh, restored["opt_state"])
+        self.step = int(restored["step"])
+
+    # ------------------------------------------------------------------ log
+    def _log(self, metrics: dict) -> None:
+        with open(self._metrics_file, "a") as f:
+            f.write(json.dumps(metrics) + "\n")
+        pieces = [f"step {metrics.get('step', self.step)}"]
+        for k in ("total_loss", "rgb_loss", "psnr", "rays_per_sec",
+                  "eval_psnr", "eval_all_psnr"):
+            if k in metrics:
+                v = metrics[k]
+                pieces.append(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}")
+        print("  ".join(pieces), flush=True)

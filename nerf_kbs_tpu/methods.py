@@ -1,0 +1,182 @@
+"""Built-in method configurations.
+
+Mirrors the reference's four registered methods and their exact operating
+points:
+- 'vanilla-nerf'   (train_nerf.py:30-54): VanillaNerf over vKITTI, RAdam
+  5e-4 fields / 1e-3 temporal_distortion, tensorboard-style logging.
+- 'nerfacto'       (train_nerfacto.py:28-64): kitti parser, 4096 rays/batch,
+  Adam 1e-3 eps 1e-15 + ExponentialDecay to 1e-5 over 2e6 steps, 30k iters,
+  eval chunk 1<<15, mixed precision OFF.
+- 'semantic-nerfw' (train.py:42-101): SemanticNerfW over kitti frames 5-120
+  with semantics + masks, Adam 1e-3 eps 1e-15 both groups, 30k iters, eval
+  chunk 1<<16, mixed precision ON.
+- 'test-nerfacto'  (train_z1.py:98-153): transforms.json parser with
+  train_split_fraction 0.75, 20k iters, eval cadence 5000, mixed precision ON.
+Plus 'nerfacto-big' (the commented preset at train_z1.py:50-93) and
+'synthetic-nerfacto' (no data on disk; analytic sphere scene for smoke runs).
+"""
+
+from __future__ import annotations
+
+from nerf_kbs_tpu.data.datamanager import DataManagerConfig
+from nerf_kbs_tpu.data.dataparsers.kitti import KittiDataParserConfig
+from nerf_kbs_tpu.data.dataparsers.transforms_json import TransformsJsonConfig
+from nerf_kbs_tpu.data.dataparsers.vkitti import VKittiDataParserConfig
+from nerf_kbs_tpu.engine.cli import MethodSpec, register_method
+from nerf_kbs_tpu.engine.optimizers import OptimizerConfig
+from nerf_kbs_tpu.engine.trainer import TrainerConfig
+from nerf_kbs_tpu.models.nerfacto import NerfactoConfig
+from nerf_kbs_tpu.models.semantic_nerfw import SemanticNerfWConfig
+from nerf_kbs_tpu.models.vanilla_nerf import VanillaNerfConfig
+
+
+def vanilla_nerf_method() -> MethodSpec:
+    return MethodSpec(
+        model_name="vanilla_nerf",
+        model=VanillaNerfConfig(enable_temporal_distortion=True),
+        trainer=TrainerConfig(
+            method_name="vanilla-nerf",
+            max_num_iterations=30000,
+            mixed_precision=False,
+            eval_num_rays_per_chunk=1 << 14,
+        ),
+        optimizers={
+            "fields": OptimizerConfig(optimizer="radam", lr=5e-4, eps=1e-8),
+            "temporal_distortion": OptimizerConfig(optimizer="radam", lr=1e-3, eps=1e-8),
+        },
+        dataparser=VKittiDataParserConfig(),
+        datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
+        description="classic NeRF w/ temporal distortion over vKITTI (train_nerf.py)",
+    )
+
+
+def nerfacto_method() -> MethodSpec:
+    return MethodSpec(
+        model_name="nerfacto",
+        model=NerfactoConfig(),
+        trainer=TrainerConfig(
+            method_name="nerfacto",
+            max_num_iterations=30000,
+            steps_per_save=2000,
+            steps_per_eval_batch=500,
+            steps_per_eval_image=500,
+            mixed_precision=False,
+            eval_num_rays_per_chunk=1 << 15,
+        ),
+        optimizers={
+            "proposal_networks": OptimizerConfig(
+                lr=1e-3, eps=1e-15, lr_final=1e-5, max_steps=2_000_000
+            ),
+            "fields": OptimizerConfig(
+                lr=1e-3, eps=1e-15, lr_final=1e-5, max_steps=2_000_000
+            ),
+        },
+        dataparser=KittiDataParserConfig(),
+        datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
+        description="hash-grid NeRF on KITTI odometry (train_nerfacto.py)",
+    )
+
+
+def nerfacto_big_method() -> MethodSpec:
+    spec = nerfacto_method()
+    import dataclasses
+
+    spec.model = dataclasses.replace(
+        spec.model,
+        num_nerf_samples_per_ray=128,
+        num_proposal_samples_per_ray=(512, 256),
+        hidden_dim=128,
+        hidden_dim_color=128,
+        max_res=4096,
+        log2_hashmap_size=21,
+    )
+    spec.trainer = dataclasses.replace(
+        spec.trainer, method_name="nerfacto-big", max_num_iterations=100000
+    )
+    spec.description = "the commented nerfacto-big preset (train_z1.py:50-93)"
+    return spec
+
+
+def semantic_nerfw_method() -> MethodSpec:
+    return MethodSpec(
+        model_name="semantic_nerfw",
+        model=SemanticNerfWConfig(
+            use_semantic=True,
+            use_depth=True,
+            use_mask=True,
+            mono_depth_loss_mult=0.001,
+            semantic_loss_weight=0.05,
+        ),
+        trainer=TrainerConfig(
+            method_name="semantic-nerfw",
+            max_num_iterations=30000,
+            steps_per_save=2000,
+            steps_per_eval_batch=500,
+            steps_per_eval_image=500,
+            steps_per_eval_all_images=10000,
+            mixed_precision=True,
+            eval_num_rays_per_chunk=1 << 16,
+        ),
+        optimizers={
+            "proposal_networks": OptimizerConfig(lr=1e-3, eps=1e-15),
+            "fields": OptimizerConfig(lr=1e-3, eps=1e-15),
+        },
+        dataparser=KittiDataParserConfig(
+            first_frame=5,
+            last_frame=120,
+            train_split_fraction=0.75,
+            use_depth=True,
+        ),
+        datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
+        description="semantic NeRF-W on KITTI w/ depth+semantics+masks (train.py)",
+    )
+
+
+def test_nerfacto_method() -> MethodSpec:
+    spec = nerfacto_method()
+    import dataclasses
+
+    spec.trainer = dataclasses.replace(
+        spec.trainer,
+        method_name="test-nerfacto",
+        max_num_iterations=20000,
+        steps_per_eval_image=5000,
+        steps_per_eval_batch=5000,
+        mixed_precision=True,
+    )
+    spec.dataparser = TransformsJsonConfig(train_split_fraction=0.75)
+    spec.description = "nerfacto over transforms.json scenes (train_z1.py)"
+    return spec
+
+
+def synthetic_nerfacto_method() -> MethodSpec:
+    spec = nerfacto_method()
+    import dataclasses
+
+    spec.model = dataclasses.replace(
+        spec.model,
+        num_levels=8,
+        max_res=256,
+        log2_hashmap_size=15,
+        near_plane=0.05,
+        far_plane=8.0,
+    )
+    spec.trainer = dataclasses.replace(
+        spec.trainer,
+        method_name="synthetic-nerfacto",
+        max_num_iterations=2000,
+        steps_per_eval_image=500,
+        eval_num_rays_per_chunk=1 << 13,
+    )
+    spec.dataparser = None
+    spec.datamanager = DataManagerConfig(train_num_rays_per_batch=1024)
+    spec.description = "smoke method: nerfacto on the analytic sphere scene"
+    return spec
+
+
+register_method("vanilla-nerf", vanilla_nerf_method)
+register_method("nerfacto", nerfacto_method)
+register_method("nerfacto-big", nerfacto_big_method)
+register_method("semantic-nerfw", semantic_nerfw_method)
+register_method("test-nerfacto", test_nerfacto_method)
+register_method("synthetic-nerfacto", synthetic_nerfacto_method)

@@ -1,0 +1,292 @@
+"""Neural fields: the hash-grid NeRF field ("nerfacto field") and the small
+hash-MLP density fields used by the proposal sampler.
+
+TPU-native replacement for the tcnn-backed nerfstudio NerfactoField /
+HashMLPDensityField the reference constructs (nerfacto.py:275-311,
+semantic_nerfw.py:102-114): parameters are one flat pytree; evaluation is a
+hash-grid gather followed by MXU matmuls; semantics / transient (NeRF-W) /
+predicted-normal heads are optional extensions of the same trunk, mirroring
+the reference's field surface (use_semantics, use_transient_embedding,
+use_pred_normals).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerf_kbs_tpu.ops.contraction import contract_to_unit_cube, normalize_aabb
+from nerf_kbs_tpu.ops.encoding import (
+    HashEncodingConfig,
+    hash_encoding_apply,
+    hash_encoding_init,
+    positional_encoding,
+    sh_encoding,
+)
+from nerf_kbs_tpu.ops.mlp import MLPConfig, mlp_apply, mlp_init, trunc_exp
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfactoFieldConfig:
+    """Field hyperparameters (reference nerfacto.py:155-169 for the grid and
+    MLP sizes; hidden_dim 64, geo_feat_dim 15, hidden_dim_color 64,
+    appearance_embed_dim 32)."""
+
+    num_images: int = 1
+    hash: HashEncodingConfig = HashEncodingConfig()
+    hidden_dim: int = 64
+    num_layers: int = 2
+    geo_feat_dim: int = 15
+    hidden_dim_color: int = 64
+    num_layers_color: int = 3
+    appearance_embedding_dim: int = 32
+    use_average_appearance_embedding: bool = True
+    sh_levels: int = 4
+    use_semantics: bool = False
+    num_semantic_classes: int = 0
+    hidden_dim_semantics: int = 64
+    use_transient_embedding: bool = False
+    transient_embedding_dim: int = 16
+    hidden_dim_transient: int = 64
+    use_pred_normals: bool = False
+    disable_scene_contraction: bool = False
+    compute_dtype: str = "float32"
+
+    # derived MLP configs -------------------------------------------------
+    @property
+    def base_mlp(self) -> MLPConfig:
+        return MLPConfig(
+            in_dim=self.hash.output_dim,
+            num_layers=self.num_layers,
+            layer_width=self.hidden_dim,
+            out_dim=1 + self.geo_feat_dim,
+            compute_dtype=self.compute_dtype,
+        )
+
+    @property
+    def rgb_mlp(self) -> MLPConfig:
+        in_dim = self.geo_feat_dim + self.sh_levels**2 + self.appearance_embedding_dim
+        return MLPConfig(
+            in_dim=in_dim,
+            num_layers=self.num_layers_color,
+            layer_width=self.hidden_dim_color,
+            out_dim=3,
+            out_activation="sigmoid",
+            compute_dtype=self.compute_dtype,
+        )
+
+    @property
+    def semantic_mlp(self) -> MLPConfig:
+        return MLPConfig(
+            in_dim=self.geo_feat_dim,
+            num_layers=2,
+            layer_width=self.hidden_dim_semantics,
+            out_dim=self.num_semantic_classes,
+            compute_dtype=self.compute_dtype,
+        )
+
+    @property
+    def transient_mlp(self) -> MLPConfig:
+        # trunk producing an embedding from which transient density / rgb /
+        # uncertainty heads read (NeRF-W; reference semantic_nerfw.py:190-221)
+        return MLPConfig(
+            in_dim=self.geo_feat_dim + self.transient_embedding_dim,
+            num_layers=2,
+            layer_width=self.hidden_dim_transient,
+            out_dim=self.hidden_dim_transient,
+            compute_dtype=self.compute_dtype,
+        )
+
+    @property
+    def pred_normal_mlp(self) -> MLPConfig:
+        return MLPConfig(
+            in_dim=self.geo_feat_dim + 3 * 2 * 4 + 3,  # pos_enc(4 freqs) + pos
+            num_layers=3,
+            layer_width=64,
+            out_dim=3,
+            compute_dtype=self.compute_dtype,
+        )
+
+
+def nerfacto_field_init(key: jax.Array, cfg: NerfactoFieldConfig) -> dict:
+    ks = jax.random.split(key, 12)
+    params = {
+        "hash_table": hash_encoding_init(ks[0], cfg.hash),
+        "base_mlp": mlp_init(ks[1], cfg.base_mlp),
+        "rgb_mlp": mlp_init(ks[2], cfg.rgb_mlp),
+        "appearance_emb": jax.random.normal(
+            ks[3], (cfg.num_images, cfg.appearance_embedding_dim)
+        )
+        * 0.1,
+    }
+    if cfg.use_semantics:
+        params["semantic_mlp"] = mlp_init(ks[4], cfg.semantic_mlp)
+    if cfg.use_transient_embedding:
+        params["transient_emb"] = (
+            jax.random.normal(ks[5], (cfg.num_images, cfg.transient_embedding_dim)) * 0.1
+        )
+        params["transient_mlp"] = mlp_init(ks[6], cfg.transient_mlp)
+        head = lambda k, od: mlp_init(
+            k, MLPConfig(cfg.hidden_dim_transient, 1, cfg.hidden_dim_transient, od)
+        )
+        params["transient_density_head"] = head(ks[7], 1)
+        params["transient_rgb_head"] = head(ks[8], 3)
+        params["uncertainty_head"] = head(ks[9], 1)
+    if cfg.use_pred_normals:
+        params["pred_normal_mlp"] = mlp_init(ks[10], cfg.pred_normal_mlp)
+    return params
+
+
+def _density_from_base(h: jnp.ndarray):
+    """Split trunk output into (density, geo features). The -1 bias keeps the
+    field near-empty at init (densities ~ e^-1 * table-noise)."""
+    density = trunc_exp(h[..., 0] - 1.0)
+    return density, h[..., 1:]
+
+
+def nerfacto_density(
+    params: dict, cfg: NerfactoFieldConfig, positions: jnp.ndarray
+) -> jnp.ndarray:
+    """Density-only evaluation (used by jax.grad for analytic normals and by
+    callers that don't need color)."""
+    x = (
+        normalize_aabb(positions, jnp.array([[-1.0] * 3, [1.0] * 3]))
+        if cfg.disable_scene_contraction
+        else contract_to_unit_cube(positions)
+    )
+    enc = hash_encoding_apply(params["hash_table"], x, cfg.hash)
+    h = mlp_apply(params["base_mlp"], enc, cfg.base_mlp)
+    density, _ = _density_from_base(h)
+    return density
+
+
+def nerfacto_field_apply(
+    params: dict,
+    cfg: NerfactoFieldConfig,
+    positions: jnp.ndarray,
+    directions: jnp.ndarray,
+    camera_indices: jnp.ndarray,
+    train: bool = True,
+    compute_normals: bool = False,
+) -> dict:
+    """Evaluate the field.
+
+    positions: (R, S, 3); directions: (R, 3) unit; camera_indices: (R, 1) int32.
+    Returns dict with 'density' (R, S), 'rgb' (R, S, 3) and optional heads.
+    """
+    R, S, _ = positions.shape
+    x = (
+        normalize_aabb(positions, jnp.array([[-1.0] * 3, [1.0] * 3]))
+        if cfg.disable_scene_contraction
+        else contract_to_unit_cube(positions)
+    )
+    enc = hash_encoding_apply(params["hash_table"], x, cfg.hash)
+    h = mlp_apply(params["base_mlp"], enc, cfg.base_mlp)
+    density, geo = _density_from_base(h)
+
+    d_enc = sh_encoding(directions, cfg.sh_levels)  # (R, 16)
+    d_enc = jnp.broadcast_to(d_enc[:, None, :], (R, S, d_enc.shape[-1]))
+
+    cam = camera_indices[..., 0]  # (R,)
+    if train or not cfg.use_average_appearance_embedding:
+        app = params["appearance_emb"][cam]  # (R, A)
+    else:
+        app = jnp.broadcast_to(
+            jnp.mean(params["appearance_emb"], axis=0), (R, cfg.appearance_embedding_dim)
+        )
+    app = jnp.broadcast_to(app[:, None, :], (R, S, cfg.appearance_embedding_dim))
+
+    rgb_in = jnp.concatenate([geo, d_enc, app], axis=-1)
+    rgb = mlp_apply(params["rgb_mlp"], rgb_in, cfg.rgb_mlp)
+
+    out = {"density": density, "rgb": rgb}
+
+    if cfg.use_semantics:
+        sem_in = jax.lax.stop_gradient(geo)
+        out["semantics"] = mlp_apply(params["semantic_mlp"], sem_in, cfg.semantic_mlp)
+
+    if cfg.use_transient_embedding and train:
+        t_emb = params["transient_emb"][cam]
+        t_emb = jnp.broadcast_to(t_emb[:, None, :], (R, S, cfg.transient_embedding_dim))
+        t_h = mlp_apply(
+            params["transient_mlp"],
+            jnp.concatenate([geo, t_emb], axis=-1),
+            cfg.transient_mlp,
+        )
+        head_cfg = lambda od: MLPConfig(cfg.hidden_dim_transient, 1, cfg.hidden_dim_transient, od)
+        out["transient_density"] = jax.nn.softplus(
+            mlp_apply(params["transient_density_head"], t_h, head_cfg(1))[..., 0] - 3.0
+        )
+        out["transient_rgb"] = jax.nn.sigmoid(
+            mlp_apply(params["transient_rgb_head"], t_h, head_cfg(3))
+        )
+        # beta floor 0.03 added downstream (reference semantic_nerfw.py:216-221)
+        out["uncertainty"] = jax.nn.softplus(
+            mlp_apply(params["uncertainty_head"], t_h, head_cfg(1))[..., 0]
+        )
+
+    if cfg.use_pred_normals:
+        p_enc = positional_encoding(x, 4, include_input=True)
+        pn = mlp_apply(
+            params["pred_normal_mlp"],
+            jnp.concatenate([geo, p_enc], axis=-1),
+            cfg.pred_normal_mlp,
+        )
+        out["pred_normals"] = pn / (jnp.linalg.norm(pn, axis=-1, keepdims=True) + 1e-8)
+
+    if compute_normals:
+        grad = jax.grad(lambda p: jnp.sum(nerfacto_density(params, cfg, p)))(positions)
+        n = -grad
+        out["normals"] = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-8)
+
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Proposal density field (HashMLPDensityField)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DensityFieldConfig:
+    """Small density-only field (reference proposal nets: 5 levels, 2^17
+    table, hidden 16, max_res 128/256; nerfacto.py:183-188)."""
+
+    hash: HashEncodingConfig = HashEncodingConfig(
+        num_levels=5, features_per_level=2, log2_hashmap_size=17,
+        base_resolution=16, max_resolution=128,
+    )
+    hidden_dim: int = 16
+    num_layers: int = 2
+    disable_scene_contraction: bool = False
+    compute_dtype: str = "float32"
+
+    @property
+    def mlp(self) -> MLPConfig:
+        return MLPConfig(
+            in_dim=self.hash.output_dim,
+            num_layers=self.num_layers,
+            layer_width=self.hidden_dim,
+            out_dim=1,
+            compute_dtype=self.compute_dtype,
+        )
+
+
+def density_field_init(key: jax.Array, cfg: DensityFieldConfig) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {"hash_table": hash_encoding_init(k1, cfg.hash), "mlp": mlp_init(k2, cfg.mlp)}
+
+
+def density_field_apply(params: dict, cfg: DensityFieldConfig, positions: jnp.ndarray):
+    x = (
+        normalize_aabb(positions, jnp.array([[-1.0] * 3, [1.0] * 3]))
+        if cfg.disable_scene_contraction
+        else contract_to_unit_cube(positions)
+    )
+    enc = hash_encoding_apply(params["hash_table"], x, cfg.hash)
+    h = mlp_apply(params["mlp"], enc, cfg.mlp)
+    density, _ = _density_from_base(h)
+    return density

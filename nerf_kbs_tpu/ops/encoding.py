@@ -5,12 +5,13 @@ The hash grid replaces the tiny-cuda-nn CUDA encoder the reference leans on
 (NerfactoField / HashMLPDensityField construction, reference nerfacto.py:161-189,
 275-311) with a TPU-native design:
 
-- the table is a single flat (sum_levels table_size, F) HBM-resident array in
-  the params pytree (trainable);
-- lookups are one batched XLA gather (``jnp.take``) over all levels x 8 corners
-  at once — gathers pipeline well on TPU when batched this way;
-- gradients scatter-add back into the table via the transpose of the gather,
-  which XLA lowers to a deterministic scatter (no CUDA atomics analog needed);
+- the table is one flat 1-D HBM-resident array in the params pytree (1-D
+  avoids TPU (8, 128) tile padding a narrow feature dim 64x);
+- all per-point work lives on (B, 128)-lane arrays with lane = level*8+corner
+  (elementwise VPU ops + one constant-matrix MXU reduction) — see the
+  layout notes at hash_encoding_apply;
+- lookups are batched XLA gathers (``jnp.take``); gradients scatter-add back
+  via the gather transpose (deterministic, no CUDA atomics analog);
 - levels whose dense grid fits in the table are indexed directly (no hash, no
   collisions), matching tcnn semantics for coarse levels.
 
@@ -147,10 +148,43 @@ class HashEncodingConfig:
 
 
 def hash_encoding_init(key: jax.Array, config: HashEncodingConfig, dtype=jnp.float32):
-    """Uniform(-1e-4, 1e-4) table init (tcnn's default). Shape
-    (num_levels * table_size, features_per_level)."""
-    shape = (config.num_levels * config.table_size, config.features_per_level)
+    """Uniform(-1e-4, 1e-4) table init (tcnn's default).
+
+    Stored FLAT 1-D, feature-major: entry (f, level, slot) lives at
+    f * (L * T) + level * T + slot. A flat table is deliberate TPU layout:
+    2-D (M, 2) arrays are physically tiled (8, 128) on TPU, padding the
+    2-wide minor dim to 128 lanes — a 64x HBM blowup. 1-D has no such padding.
+    """
+    shape = (config.features_per_level * config.num_levels * config.table_size,)
     return jax.random.uniform(key, shape, dtype=dtype, minval=-1e-4, maxval=1e-4)
+
+
+def _hash_encoding_apply_reference(
+    table: jnp.ndarray, positions: jnp.ndarray, config: HashEncodingConfig
+) -> jnp.ndarray:
+    """Readable oracle implementation (small batches / tests only): per-level
+    corner gather with (B, L, 8) intermediates. Semantically identical to
+    hash_encoding_apply; kept as the correctness reference for the
+    layout-optimized path and the Pallas kernels."""
+    batch_shape = positions.shape[:-1]
+    p = positions.reshape(-1, 3).astype(jnp.float32)
+
+    all_idx = []
+    all_w = []
+    for lvl, res in enumerate(config.resolutions):
+        idx, w = _level_corner_indices(p * res, res, config.table_size)
+        all_idx.append(idx + lvl * config.table_size)
+        all_w.append(w)
+    idx = jnp.stack(all_idx, axis=1)  # (B, L, 8)
+    w = jnp.stack(all_w, axis=1)  # (B, L, 8)
+
+    lt = config.num_levels * config.table_size
+    feats = []
+    for f in range(config.features_per_level):
+        g = jnp.take(table, idx + f * lt, axis=0)  # (B, L, 8)
+        feats.append(jnp.sum(g * w, axis=2))  # (B, L)
+    out = jnp.stack(feats, axis=-1)  # (B, L, F)
+    return out.reshape(*batch_shape, config.output_dim)
 
 
 def _level_corner_indices(pos_scaled: jnp.ndarray, resolution: int, table_size: int):
@@ -189,27 +223,119 @@ def _level_corner_indices(pos_scaled: jnp.ndarray, resolution: int, table_size: 
     return jnp.stack(idx_list, axis=-1), jnp.stack(w_list, axis=-1)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Layout-optimized TPU path
+# ---------------------------------------------------------------------------
+#
+# TPU physical layout pads the minor dim of every materialized f32 array to
+# 128 lanes (and sublanes to 8). The naive (B, L, 8, F) intermediates of a
+# hash-grid encode therefore blow up 16-64x in HBM (measured: a 26 GB alloc
+# for a 0.4 GB logical array). This path keeps EVERY materialized array at
+# (B, 128k) with lane index = level * 8 + corner:
+#   - per-dim scaled positions / fracs / corner coords: (B, n_lanes) via
+#     broadcasting against per-lane constant vectors (resolutions, corner bits)
+#   - hashing: elementwise uint32 ops on (B, n_lanes)
+#   - feature fetch: one jnp.take per feature from the flat 1-D table
+#   - trilinear reduction: (B, n_lanes) @ (n_lanes, n_lanes) constant 0/1
+#     matrix on the MXU (sums the 8 corner lanes of each level)
+# Semantically identical to _hash_encoding_apply_reference (tested).
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclasses.dataclass(frozen=True)
+class _LaneConstants:
+    res: np.ndarray          # (n_lanes,) f32 level resolution per lane
+    bits: np.ndarray         # (3, n_lanes) f32 corner bit per dim
+    dense: np.ndarray        # (n_lanes,) bool: level uses dense indexing
+    dense_r1: np.ndarray     # (n_lanes,) i32 resolution+1 for dense levels
+    offset: np.ndarray       # (n_lanes,) i32 level * table_size
+    valid: np.ndarray        # (n_lanes,) f32 1.0 for real lanes
+    corner_sum: np.ndarray   # (n_lanes, n_lanes) f32 0/1 reduction matrix
+
+
+def _lane_constants(config: HashEncodingConfig) -> _LaneConstants:
+    L = config.num_levels
+    n_lanes = _round_up(8 * L, 128)
+    res = np.ones(n_lanes, np.float32)
+    bits = np.zeros((3, n_lanes), np.float32)
+    dense = np.zeros(n_lanes, bool)
+    dense_r1 = np.ones(n_lanes, np.int32)
+    offset = np.zeros(n_lanes, np.int32)
+    valid = np.zeros(n_lanes, np.float32)
+    corner_sum = np.zeros((n_lanes, n_lanes), np.float32)
+    for lvl, r in enumerate(config.resolutions):
+        is_dense = (r + 1) ** 3 <= config.table_size
+        for c in range(8):
+            lane = lvl * 8 + c
+            res[lane] = r
+            for d in range(3):
+                bits[d, lane] = (c >> d) & 1
+            dense[lane] = is_dense
+            dense_r1[lane] = r + 1
+            offset[lane] = lvl * config.table_size
+            valid[lane] = 1.0
+            corner_sum[lane, lvl] = 1.0
+    return _LaneConstants(res, bits, dense, dense_r1, offset, valid, corner_sum)
+
+
+_LANE_CACHE: dict[HashEncodingConfig, _LaneConstants] = {}
+
+
 def hash_encoding_apply(
     table: jnp.ndarray, positions: jnp.ndarray, config: HashEncodingConfig
 ) -> jnp.ndarray:
     """Encode positions in [0, 1]^3 -> (..., num_levels * features_per_level).
 
-    One fused gather across all levels: indices are offset into the flat table
-    by level * table_size.
+    table: flat 1-D array from hash_encoding_init. TPU-layout-safe at any
+    batch size; see module notes above.
     """
+    if config not in _LANE_CACHE:
+        _LANE_CACHE[config] = _lane_constants(config)
+    k = _LANE_CACHE[config]
+    L = config.num_levels
+    lt = L * config.table_size
+
     batch_shape = positions.shape[:-1]
     p = positions.reshape(-1, 3).astype(jnp.float32)
+    B = p.shape[0]
 
-    all_idx = []
-    all_w = []
-    for lvl, res in enumerate(config.resolutions):
-        idx, w = _level_corner_indices(p * res, res, config.table_size)
-        all_idx.append(idx + lvl * config.table_size)
-        all_w.append(w)
-    idx = jnp.stack(all_idx, axis=1)  # (B, L, 8)
-    w = jnp.stack(all_w, axis=1)  # (B, L, 8)
+    res = jnp.asarray(k.res)
+    w = jnp.ones((B, res.shape[0]), jnp.float32)
+    coords = []
+    for d in range(3):
+        ps = p[:, d : d + 1] * res[None, :]          # (B, n_lanes)
+        fl = jnp.floor(ps)
+        frac = ps - fl
+        bit = jnp.asarray(k.bits[d])[None, :]
+        coords.append((fl + bit).astype(jnp.int32))
+        w = w * (frac * (2.0 * bit - 1.0) + (1.0 - bit))  # bit? frac : 1-frac
+    w = w * jnp.asarray(k.valid)[None, :]
 
-    feats = jnp.take(table, idx.reshape(-1), axis=0)  # (B*L*8, F)
-    feats = feats.reshape(*idx.shape, config.features_per_level)
-    out = jnp.sum(feats * w[..., None].astype(feats.dtype), axis=2)  # (B, L, F)
+    cx, cy, cz = (c.astype(jnp.uint32) for c in coords)
+    hashed = (
+        (cx * jnp.uint32(_PRIMES[0]))
+        ^ (cy * jnp.uint32(_PRIMES[1]))
+        ^ (cz * jnp.uint32(_PRIMES[2]))
+    ) & jnp.uint32(config.table_size - 1)
+    r1 = jnp.asarray(k.dense_r1)[None, :]
+    dense_idx = coords[0] + r1 * (coords[1] + r1 * coords[2])
+    idx = jnp.where(jnp.asarray(k.dense)[None, :], dense_idx, hashed.astype(jnp.int32))
+    idx = idx + jnp.asarray(k.offset)[None, :]
+
+    S = jnp.asarray(k.corner_sum)
+    feats = []
+    for f in range(config.features_per_level):
+        g = jnp.take(table, idx + f * lt, axis=0)    # (B, n_lanes)
+        feats.append(
+            jax.lax.dot_general(
+                g * w, S, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, :L]
+        )
+    out = jnp.stack(feats, axis=-1).reshape(B, L * config.features_per_level)
     return out.reshape(*batch_shape, config.output_dim)

@@ -27,6 +27,7 @@ class MLPConfig:
     activation: str = "relu"
     out_activation: str | None = None
     compute_dtype: str = "float32"
+    skip_connections: tuple[int, ...] = ()  # layers whose input re-concats x
 
 
 _ACTS: dict[str, Callable] = {
@@ -48,10 +49,10 @@ def mlp_init(key: jax.Array, config: MLPConfig, dtype=jnp.float32) -> dict:
     keys = jax.random.split(key, len(dims) - 1)
     params = {"w": [], "b": []}
     for i, k in enumerate(keys):
-        fan_in = dims[i]
+        fan_in = dims[i] + (config.in_dim if i in config.skip_connections else 0)
         bound = (6.0 / fan_in) ** 0.5
         params["w"].append(
-            jax.random.uniform(k, (dims[i], dims[i + 1]), dtype, -bound, bound)
+            jax.random.uniform(k, (fan_in, dims[i + 1]), dtype, -bound, bound)
         )
         params["b"].append(jnp.zeros((dims[i + 1],), dtype))
     return params
@@ -63,6 +64,8 @@ def mlp_apply(params: dict, x: jnp.ndarray, config: MLPConfig) -> jnp.ndarray:
     h = x.astype(cdt)
     n = len(params["w"])
     for i in range(n):
+        if i in config.skip_connections:
+            h = jnp.concatenate([h, x.astype(cdt)], axis=-1)
         w = params["w"][i].astype(cdt)
         h = (
             jax.lax.dot_general(

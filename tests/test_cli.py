@@ -1,0 +1,91 @@
+import dataclasses
+
+import pytest
+
+import nerf_kbs_tpu.methods  # noqa: F401
+from nerf_kbs_tpu.engine.cli import (
+    MethodSpec,
+    apply_overrides,
+    build_trainer,
+    method_registry,
+)
+
+
+def test_registry_has_reference_methods():
+    assert {"vanilla-nerf", "nerfacto", "nerfacto-big", "semantic-nerfw",
+            "test-nerfacto", "synthetic-nerfacto"} <= set(method_registry)
+
+
+def test_method_specs_mirror_reference_operating_points():
+    nerfacto = method_registry["nerfacto"]()
+    assert nerfacto.trainer.max_num_iterations == 30000
+    assert nerfacto.trainer.eval_num_rays_per_chunk == 1 << 15
+    assert nerfacto.trainer.mixed_precision is False
+    assert nerfacto.optimizers["fields"].lr == 1e-3
+    assert nerfacto.optimizers["fields"].eps == 1e-15
+    assert nerfacto.optimizers["fields"].lr_final == 1e-5
+    assert nerfacto.datamanager.train_num_rays_per_batch == 4096
+
+    sem = method_registry["semantic-nerfw"]()
+    assert sem.trainer.mixed_precision is True
+    assert sem.trainer.eval_num_rays_per_chunk == 1 << 16
+    assert sem.model.semantic_loss_weight == 0.05
+    assert sem.model.mono_depth_loss_mult == 0.001
+    assert sem.dataparser.first_frame == 5 and sem.dataparser.last_frame == 120
+
+    big = method_registry["nerfacto-big"]()
+    assert big.model.num_proposal_samples_per_ray == (512, 256)
+    assert big.model.log2_hashmap_size == 21
+
+    tz = method_registry["test-nerfacto"]()
+    assert tz.trainer.max_num_iterations == 20000
+    assert tz.dataparser.train_split_fraction == 0.75
+
+
+def test_apply_overrides_dotted_and_suffix():
+    spec = method_registry["nerfacto"]()
+    spec = apply_overrides(spec, {
+        "trainer.max_num_iterations": "123",
+        "model.num_levels": "4",
+        "optimizers.fields.lr": "0.01",
+        "data_dir": "/tmp/foo",                    # unique suffix match
+        "model.num_proposal_samples_per_ray": "8,4",
+        "trainer.load_dir": "none",
+    })
+    assert spec.trainer.max_num_iterations == 123
+    assert spec.model.num_levels == 4
+    assert spec.optimizers["fields"].lr == 0.01
+    assert spec.dataparser.data_dir == "/tmp/foo"
+    assert spec.model.num_proposal_samples_per_ray == (8, 4)
+    assert spec.trainer.load_dir is None
+
+
+def test_apply_overrides_rejects_unknown():
+    spec = method_registry["nerfacto"]()
+    with pytest.raises(SystemExit, match="unknown or ambiguous"):
+        apply_overrides(spec, {"no_such_field": "1"})
+    with pytest.raises(SystemExit, match="unknown or ambiguous"):
+        apply_overrides(spec, {"lr": "1"})  # ambiguous across groups
+
+
+def test_build_trainer_synthetic_and_num_images(tmp_path):
+    spec = method_registry["synthetic-nerfacto"]()
+    spec = apply_overrides(spec, {
+        "trainer.output_dir": str(tmp_path),
+        "trainer.max_num_iterations": "3",
+        "model.num_levels": "3",
+        "model.max_res": "32",
+        "model.log2_hashmap_size": "10",
+        "model.num_proposal_samples_per_ray": "8,4",
+        "model.num_nerf_samples_per_ray": "4",
+        "model.hidden_dim": "16",
+        "model.hidden_dim_color": "16",
+        "model.proposal_log2_hashmap_size": "8",
+        "train_num_rays_per_batch": "256",
+        "trainer.log_every": "1",
+    })
+    trainer = build_trainer(spec)
+    # num_images patched to the synthetic camera count
+    assert trainer.model_config.num_images == len(trainer.dm.train_cameras)
+    m = trainer.train(num_iterations=3)
+    assert "total_loss" in m

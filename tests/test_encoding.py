@@ -40,19 +40,29 @@ def test_hash_encoding_exact_at_grid_corners():
     out = E.hash_encoding_apply(table, p, cfg)
     r1 = 5
     flat = 1 + r1 * (2 + r1 * 3)
-    np.testing.assert_allclose(out[0, :2], table[flat], atol=1e-7)
+    lt = cfg.num_levels * cfg.table_size
+    np.testing.assert_allclose(
+        out[0, :2], jnp.stack([table[flat], table[lt + flat]]), atol=1e-7
+    )
+    # optimized path == readable oracle on random points
+    pr = jax.random.uniform(jax.random.PRNGKey(3), (64, 3))
+    np.testing.assert_allclose(
+        E.hash_encoding_apply(table, pr, cfg),
+        E._hash_encoding_apply_reference(table, pr, cfg),
+        atol=1e-6,
+    )
 
 
 def test_hash_encoding_trilinear_interp():
     cfg = E.HashEncodingConfig(num_levels=1, features_per_level=1,
                                log2_hashmap_size=10, base_resolution=2, max_resolution=2)
     # dense level (27 entries); set table so feature = x-index of corner
-    table = np.zeros((cfg.table_size, 1), np.float32)
+    table = np.zeros((cfg.table_size,), np.float32)
     r1 = 3
     for xi in range(3):
         for yi in range(3):
             for zi in range(3):
-                table[xi + r1 * (yi + r1 * zi), 0] = xi
+                table[xi + r1 * (yi + r1 * zi)] = xi
     out = E.hash_encoding_apply(jnp.array(table), jnp.array([[0.3, 0.9, 0.1]]), cfg)
     # at res 2, pos*res = (0.6, 1.8, 0.2): trilinear over x gives 0.6
     assert float(out[0, 0]) == pytest.approx(0.6, abs=1e-5)
@@ -61,7 +71,7 @@ def test_hash_encoding_trilinear_interp():
 def test_hash_encoding_shapes_and_grad(rng):
     cfg = E.HashEncodingConfig()
     table = E.hash_encoding_init(jax.random.PRNGKey(1), cfg)
-    assert table.shape == (16 * 2**19, 2)
+    assert table.shape == (2 * 16 * 2**19,)
     assert cfg.resolutions[0] == 16 and cfg.resolutions[-1] == 2048
     x = jnp.array(rng.uniform(0, 1, (64, 3)), jnp.float32)
     out = E.hash_encoding_apply(table, x, cfg)
@@ -73,8 +83,8 @@ def test_hash_encoding_shapes_and_grad(rng):
     g = jax.grad(loss)(table)
     assert g.shape == table.shape
     assert float(jnp.sum(jnp.abs(g))) > 0
-    # gradient only touches the gathered entries: at most 64 * 16 * 8 rows
-    assert int(jnp.sum(jnp.any(g != 0, axis=1))) <= 64 * 16 * 8
+    # gradient only touches the gathered entries: at most 64 * 16 * 8 * 2
+    assert int(jnp.sum(g != 0)) <= 64 * 16 * 8 * 2
 
 
 def test_hash_encoding_continuity():

@@ -1,0 +1,179 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nerf_kbs_tpu.cameras.cameras import RayBundle
+from nerf_kbs_tpu.models import nerfacto, vanilla_nerf
+
+
+def make_rays(n=32, key=0):
+    k = jax.random.PRNGKey(key)
+    dirs = jax.random.normal(k, (n, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return RayBundle(
+        origins=jax.random.normal(jax.random.PRNGKey(key + 1), (n, 3)) * 0.1,
+        directions=dirs,
+        pixel_area=jnp.full((n, 1), 1e-4),
+        camera_indices=jnp.zeros((n, 1), jnp.int32),
+        directions_norm=jnp.ones((n, 1)),
+        times=jnp.zeros((n, 1)),
+    )
+
+
+TINY = nerfacto.NerfactoConfig(
+    num_images=3,
+    num_levels=4,
+    max_res=64,
+    log2_hashmap_size=10,
+    num_proposal_samples_per_ray=(16, 8),
+    num_nerf_samples_per_ray=8,
+    proposal_log2_hashmap_size=8,
+    proposal_num_levels=3,
+    proposal_max_res=(32, 64),
+    hidden_dim=16,
+    hidden_dim_color=16,
+)
+
+
+def test_nerfacto_forward_shapes_and_loss():
+    params = nerfacto.init(jax.random.PRNGKey(0), TINY)
+    rays = make_rays(16)
+    out = nerfacto.forward(params, TINY, rays, key=jax.random.PRNGKey(1), step=100)
+    assert out["rgb"].shape == (16, 3)
+    assert out["depth"].shape == (16, 1)
+    assert out["accumulation"].shape == (16, 1)
+    assert out["weights"].shape == (16, 8)
+    assert out["prop_depth_0"].shape == (16, 1)
+    assert float(out["rgb"].min()) >= 0 and float(out["rgb"].max()) <= 1
+
+    batch = {"image": jnp.ones((16, 3)) * 0.5}
+    total, metrics = nerfacto.loss(TINY, out, batch)
+    assert np.isfinite(float(total))
+    assert {"rgb_loss", "interlevel_loss", "distortion_loss", "psnr"} <= set(metrics)
+
+
+def test_nerfacto_grads_reach_all_groups():
+    params = nerfacto.init(jax.random.PRNGKey(0), TINY)
+    rays = make_rays(8)
+    batch = {"image": jnp.full((8, 3), 0.3)}
+
+    def loss_fn(p):
+        out = nerfacto.forward(p, TINY, rays, key=jax.random.PRNGKey(2), step=500)
+        return nerfacto.loss(TINY, out, batch)[0]
+
+    g = jax.grad(loss_fn)(params)
+    # field + both proposal nets receive gradient
+    assert float(jnp.abs(g["fields"]["hash_table"]).sum()) > 0
+    assert float(jnp.abs(g["fields"]["rgb_mlp"]["w"][0]).sum()) > 0
+    for i in range(2):
+        assert float(jnp.abs(g["proposal_networks"][i]["hash_table"]).sum()) > 0
+        assert float(jnp.abs(g["proposal_networks"][i]["mlp"]["w"][0]).sum()) > 0
+    groups = nerfacto.param_groups(params)
+    assert set(groups) == {"proposal_networks", "fields"}
+
+
+def test_nerfacto_semantic_depth_mask_variant():
+    cfg = dataclasses.replace(
+        TINY, use_semantic=True, num_semantic_classes=5, use_depth=True,
+        use_mask=True, semantic_loss_weight=0.05, mono_depth_loss_mult=0.01,
+    )
+    params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+    rays = make_rays(8)
+    out = nerfacto.forward(params, cfg, rays, key=jax.random.PRNGKey(1))
+    assert out["semantics"].shape == (8, 5)
+    batch = {
+        "image": jnp.full((8, 3), 0.4),
+        "depth_image": jnp.full((8, 1), 2.0),
+        "semantics_label": jnp.zeros((8,), jnp.int32),
+        "mask": jnp.ones((8, 1)),
+    }
+    total, metrics = nerfacto.loss(cfg, out, batch)
+    assert np.isfinite(float(total))
+    assert "semantic_loss" in metrics and "depth_loss" in metrics
+
+    def loss_fn(p):
+        o = nerfacto.forward(p, cfg, rays, key=jax.random.PRNGKey(2))
+        return nerfacto.loss(cfg, o, batch)[0]
+
+    g = jax.grad(loss_fn)(params)
+    assert float(jnp.abs(g["fields"]["semantic_mlp"]["w"][0]).sum()) > 0
+
+
+def test_nerfacto_eval_deterministic():
+    params = nerfacto.init(jax.random.PRNGKey(0), TINY)
+    rays = make_rays(8)
+    o1 = nerfacto.forward(params, TINY, rays, key=None, train=False)
+    o2 = nerfacto.forward(params, TINY, rays, key=None, train=False)
+    np.testing.assert_array_equal(np.asarray(o1["rgb"]), np.asarray(o2["rgb"]))
+
+
+def test_vanilla_nerf_overfits_tiny_scene():
+    """M1 sanity: a tiny vanilla NeRF fits a view-dependent color field."""
+    cfg = vanilla_nerf.VanillaNerfConfig(
+        num_coarse_samples=12,
+        num_importance_samples=16,
+        pos_frequencies=4,
+        dir_frequencies=2,
+        mlp_num_layers=3,
+        mlp_layer_width=32,
+        skip_connections=(),
+        near_plane=0.5,
+        far_plane=4.0,
+    )
+    params = vanilla_nerf.init(jax.random.PRNGKey(0), cfg)
+    rays = make_rays(128, key=7)
+    # target colors: smooth function of direction
+    gt = 0.5 + 0.5 * jnp.stack(
+        [rays.directions[:, 0] * rays.directions[:, 1],
+         rays.directions[:, 1] ** 2 - 0.5,
+         rays.directions[:, 2] * 0.5],
+        axis=-1,
+    )
+    gt = jnp.clip(gt, 0.0, 1.0)
+    batch = {"image": gt}
+
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(p, s, k):
+        def loss_fn(p):
+            out = vanilla_nerf.forward(p, cfg, rays, key=k)
+            return vanilla_nerf.loss(cfg, out, batch)[0]
+
+        l, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(g, s)
+        return optax.apply_updates(p, updates), s, l
+
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for i in range(150):
+        key, sub = jax.random.split(key)
+        params, opt_state, l = step_fn(params, opt_state, sub)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.3, (losses[0], losses[-1])
+
+
+def test_vanilla_nerf_temporal_distortion_group():
+    cfg = vanilla_nerf.VanillaNerfConfig(
+        num_coarse_samples=8, num_importance_samples=8, mlp_num_layers=2,
+        mlp_layer_width=16, skip_connections=(), pos_frequencies=2,
+        dir_frequencies=1, enable_temporal_distortion=True,
+        temporal_distortion_layers=2, temporal_distortion_width=8,
+    )
+    params = vanilla_nerf.init(jax.random.PRNGKey(0), cfg)
+    assert set(vanilla_nerf.param_groups(params)) == {"fields", "temporal_distortion"}
+    rays = make_rays(8)
+    out = vanilla_nerf.forward(params, cfg, rays, key=jax.random.PRNGKey(1))
+    assert out["rgb"].shape == (8, 3)
+
+    def loss_fn(p):
+        o = vanilla_nerf.forward(p, cfg, rays, key=jax.random.PRNGKey(2))
+        return vanilla_nerf.loss(cfg, o, {"image": jnp.full((8, 3), 0.5)})[0]
+
+    g = jax.grad(loss_fn)(params)
+    assert float(jnp.abs(g["temporal_distortion"]["w"][0]).sum()) > 0
