@@ -121,17 +121,19 @@ class InMemoryDataManager:
     # ---------------------------------------------------------------- train
     def next_train(self, step: int) -> dict:
         a = self.train_assets
-        n, h, w = a["images"].shape[:3]
         b = self.config.train_num_rays_per_batch
-        cam = self._rng.integers(0, n, b)
-        row = self._rng.integers(0, h, b)
-        col = self._rng.integers(0, w, b)
-        batch = {
-            "ray_indices": np.stack([cam, row, col], -1).astype(np.int32),
-            "image": a["images"][cam, row, col].astype(np.float32) / 255.0,
-        }
-        if "depths" in a:
-            batch["depth_image"] = a["depths"][cam, row, col][:, None]
+        # GIL-free native sampler when available (the torch-DataLoader analog);
+        # note masks here are only supervision weights, so they are NOT used
+        # for rejection — sampled pixels carry their mask value instead
+        from nerf_kbs_tpu import native
+
+        batch = native.sample_ray_batch(
+            a["images"], b, seed=self.config.seed * 1_000_003 + step,
+            depths=a.get("depths"),
+        )
+        if "depths" not in a:
+            batch.pop("depth_image", None)
+        cam, row, col = batch["ray_indices"].T
         if "masks" in a:
             batch["mask"] = a["masks"][cam, row, col][:, None].astype(np.float32)
         if "semantic_labels" in a:

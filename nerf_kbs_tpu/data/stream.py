@@ -1,0 +1,171 @@
+"""Chunked pixel-stream datamanager for datasets larger than RAM.
+
+Capability parity with the reference's SUDS-style streaming stack
+(/root/reference/dataparser/datamanager_z.py:67-322 myDataManager and
+dataset_z.py:26-358 SUDSDataset):
+- pixels are streamed in large chunks (items_per_chunk, reference default
+  12_800_000, datamanager_z.py:49) rather than holding every frame in RAM;
+- the next chunk is loaded on a background single-worker executor while the
+  current one is consumed (double buffering, dataset_z.py:86-91); the
+  single-threaded chunk executor is intentional — it serializes chunk
+  builds so there are no write races (dataset_z.py:61);
+- per-image asset loading fans out on a thread pool (16 workers,
+  dataset_z.py:61-62);
+- two fill modes: sequential sweep over all masked pixels of all frames
+  (_load_metadata_into_memory, dataset_z.py:193-286) or uniform random
+  subset (_load_random_subset, dataset_z.py:180-191);
+- each row carries RAY_INDEX = (image, row, col) plus rgb / depth / mask /
+  time / video_id (the reference's suds_constants key vocabulary);
+- per-pass reshuffle with a fresh permutation (dataset_z.py:158-160);
+- multi-host sharding: each host keeps rows where
+  row_id % num_shards == shard_index (replaces DistributedSampler,
+  datamanager_z.py:228-245).
+
+The train batch contract matches InMemoryDataManager, so the Trainer is
+agnostic to which manager feeds it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+import numpy as np
+
+from nerf_kbs_tpu.data.image_metadata import ImageMetadata
+
+
+@dataclasses.dataclass
+class StreamConfig:
+    items_per_chunk: int = 12_800_000
+    train_num_rays_per_batch: int = 4096
+    load_random_subset: bool = False
+    num_asset_workers: int = 16
+    seed: int = 0
+    shard_index: int = 0
+    num_shards: int = 1
+    with_depth: bool = True
+    with_time: bool = True
+
+
+class ChunkedStreamDataManager:
+    """Streams pixel rows from a list of ImageMetadata."""
+
+    def __init__(
+        self,
+        train_items: list[ImageMetadata],
+        eval_items: list[ImageMetadata],
+        config: StreamConfig = StreamConfig(),
+    ):
+        if not train_items:
+            raise ValueError("no train items")
+        self.config = config
+        self.train_items = train_items
+        self.eval_items = eval_items
+        self._rng = np.random.default_rng(config.seed + config.shard_index)
+        # deliberately single-worker: chunk builds are serialized (see module
+        # docstring); asset loads inside a build still fan out
+        self._chunk_executor = ThreadPoolExecutor(max_workers=1)
+        self._next_chunk_future = self._chunk_executor.submit(self._build_chunk)
+        self._chunk: Optional[dict] = None
+        self._cursor = 0
+        self.train_cameras = self._cameras_of(train_items)
+        self.eval_cameras = self._cameras_of(eval_items or train_items[:1])
+        self.semantics = None
+
+    @staticmethod
+    def _cameras_of(items: list[ImageMetadata]):
+        from nerf_kbs_tpu.data.outputs import DataparserOutputs
+
+        cams = {
+            "fx": np.array([it.intrinsics[0] for it in items], np.float32),
+            "fy": np.array([it.intrinsics[1] for it in items], np.float32),
+            "cx": np.array([it.intrinsics[2] for it in items], np.float32),
+            "cy": np.array([it.intrinsics[3] for it in items], np.float32),
+            "c2w": np.stack([np.asarray(it.c2w)[:3, :4] for it in items]).astype(np.float32),
+            "width": np.array([it.W for it in items], np.int32),
+            "height": np.array([it.H for it in items], np.int32),
+        }
+        out = DataparserOutputs(
+            [it.image_path for it in items], cams,
+            np.array([[-1.0] * 3, [1.0] * 3]),
+            times=np.array([it.time for it in items], np.float32),
+            video_ids=np.array([it.video_id for it in items], np.int32),
+        )
+        return out.cameras()
+
+    # ------------------------------------------------------------ chunk build
+    def _load_image_rows(self, item_idx: int) -> dict:
+        """All supervised pixels of one frame as flat row arrays."""
+        it = self.train_items[item_idx]
+        img = it.load_image()
+        mask = it.load_mask()
+        h, w = img.shape[:2]
+        rr, cc = np.nonzero(mask)
+        rows = {
+            "ray_indices": np.stack(
+                [np.full_like(rr, item_idx), rr, cc], -1
+            ).astype(np.int32),
+            "image": img[rr, cc].astype(np.float32) / 255.0,
+        }
+        if self.config.with_depth and it.depth_path is not None:
+            depth = it.load_depth()
+            rows["depth_image"] = depth[rr, cc][:, None].astype(np.float32)
+        if self.config.with_time:
+            rows["time"] = np.full((len(rr), 1), it.time, np.float32)
+            rows["video_id"] = np.full((len(rr), 1), it.video_id, np.int32)
+        rows["mask"] = np.ones((len(rr), 1), np.float32)
+        return rows
+
+    def _build_chunk(self) -> dict:
+        cfg = self.config
+        n_items = len(self.train_items)
+        target = cfg.items_per_chunk
+        if cfg.load_random_subset:
+            order = self._rng.permutation(n_items)
+        else:
+            order = np.arange(n_items)
+        parts: list[dict] = []
+        total = 0
+        with ThreadPoolExecutor(cfg.num_asset_workers) as ex:
+            for rows in ex.map(self._load_image_rows, order):
+                parts.append(rows)
+                total += rows["ray_indices"].shape[0]
+                if total >= target:
+                    break
+        keys = parts[0].keys()
+        chunk = {k: np.concatenate([p[k] for p in parts if k in p], 0) for k in keys}
+        n = chunk["ray_indices"].shape[0]
+        # per-host shard, then reshuffle (replaces DistributedSampler)
+        sel = np.arange(cfg.shard_index, n, cfg.num_shards)
+        perm = self._rng.permutation(len(sel))
+        sel = sel[perm]
+        return {k: v[sel] for k, v in chunk.items()}
+
+    # ---------------------------------------------------------------- train
+    def next_train(self, step: int) -> dict:
+        b = self.config.train_num_rays_per_batch
+        if self._chunk is None or self._cursor + b > self._chunk["ray_indices"].shape[0]:
+            self._chunk = self._next_chunk_future.result()
+            self._cursor = 0
+            self._next_chunk_future = self._chunk_executor.submit(self._build_chunk)
+        s = slice(self._cursor, self._cursor + b)
+        self._cursor += b
+        return {k: v[s] for k, v in self._chunk.items()}
+
+    # ----------------------------------------------------------------- eval
+    def num_eval_images(self) -> int:
+        return len(self.eval_items)
+
+    def eval_image(self, idx: int) -> dict:
+        it = self.eval_items[idx]
+        out = {"image": it.load_image().astype(np.float32) / 255.0}
+        d = it.load_depth()
+        if d is not None:
+            out["depth_image"] = d[..., None]
+        out["mask"] = it.load_mask()[..., None].astype(np.float32)
+        return out
+
+    def close(self):
+        self._chunk_executor.shutdown(wait=False, cancel_futures=True)

@@ -149,6 +149,28 @@ def test_nerfacto_method() -> MethodSpec:
     return spec
 
 
+def nerfacto_tpu_method() -> MethodSpec:
+    """TPU-first operating point: same nerfacto architecture (proposal chain,
+    renderers, losses) with the gather-free Fourier MLP field — per-corner
+    hash gathers run at only ~10^7-10^8/s on TPU while the MXU does ~10^11
+    bf16 MACs/s, so the hot path is restructured to matmuls (the same design
+    choice as TPU-era NeRFs: mip-NeRF 360 / Block-NeRF)."""
+    spec = nerfacto_method()
+    import dataclasses
+
+    spec.model = dataclasses.replace(
+        spec.model,
+        field_type="fourier",
+        hidden_dim=128,
+        num_images=spec.model.num_images,
+    )
+    spec.trainer = dataclasses.replace(
+        spec.trainer, method_name="nerfacto-tpu", mixed_precision=True
+    )
+    spec.description = "nerfacto with the MXU-native Fourier field (TPU op point)"
+    return spec
+
+
 def synthetic_nerfacto_method() -> MethodSpec:
     spec = nerfacto_method()
     import dataclasses
@@ -175,6 +197,7 @@ def synthetic_nerfacto_method() -> MethodSpec:
 
 
 register_method("vanilla-nerf", vanilla_nerf_method)
+register_method("nerfacto-tpu", nerfacto_tpu_method)
 register_method("nerfacto", nerfacto_method)
 register_method("nerfacto-big", nerfacto_big_method)
 register_method("semantic-nerfw", semantic_nerfw_method)

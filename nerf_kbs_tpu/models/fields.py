@@ -20,7 +20,10 @@ import jax.numpy as jnp
 
 from nerf_kbs_tpu.ops.contraction import contract_to_unit_cube, normalize_aabb
 from nerf_kbs_tpu.ops.encoding import (
+    FourierEncodingConfig,
     HashEncodingConfig,
+    fourier_encoding_apply,
+    fourier_encoding_init,
     hash_encoding_apply,
     hash_encoding_init,
     positional_encoding,
@@ -36,7 +39,12 @@ class NerfactoFieldConfig:
     appearance_embed_dim 32)."""
 
     num_images: int = 1
+    # 'hash' = tcnn-parity multires hash grid (gather-bound on TPU);
+    # 'fourier' = MXU-native multiscale random Fourier features (the TPU-first
+    # operating point — per-corner gathers measured at only 15-116M/s on v5e)
+    encoding: str = "hash"
     hash: HashEncodingConfig = HashEncodingConfig()
+    fourier: FourierEncodingConfig = FourierEncodingConfig()
     hidden_dim: int = 64
     num_layers: int = 2
     geo_feat_dim: int = 15
@@ -57,9 +65,13 @@ class NerfactoFieldConfig:
 
     # derived MLP configs -------------------------------------------------
     @property
+    def encoding_dim(self) -> int:
+        return self.hash.output_dim if self.encoding == "hash" else self.fourier.output_dim
+
+    @property
     def base_mlp(self) -> MLPConfig:
         return MLPConfig(
-            in_dim=self.hash.output_dim,
+            in_dim=self.encoding_dim,
             num_layers=self.num_layers,
             layer_width=self.hidden_dim,
             out_dim=1 + self.geo_feat_dim,
@@ -114,7 +126,13 @@ class NerfactoFieldConfig:
 def nerfacto_field_init(key: jax.Array, cfg: NerfactoFieldConfig) -> dict:
     ks = jax.random.split(key, 12)
     params = {
-        "hash_table": hash_encoding_init(ks[0], cfg.hash),
+        (
+            "hash_table" if cfg.encoding == "hash" else "fourier_B"
+        ): (
+            hash_encoding_init(ks[0], cfg.hash)
+            if cfg.encoding == "hash"
+            else fourier_encoding_init(ks[0], cfg.fourier)
+        ),
         "base_mlp": mlp_init(ks[1], cfg.base_mlp),
         "rgb_mlp": mlp_init(ks[2], cfg.rgb_mlp),
         "appearance_emb": jax.random.normal(
@@ -140,6 +158,14 @@ def nerfacto_field_init(key: jax.Array, cfg: NerfactoFieldConfig) -> dict:
     return params
 
 
+def _field_encode(params: dict, cfg, x: jnp.ndarray) -> jnp.ndarray:
+    """Spatial encoding dispatch: hash grid or Fourier features on normalized
+    positions in [0, 1]^3."""
+    if cfg.encoding == "hash":
+        return hash_encoding_apply(params["hash_table"], x, cfg.hash)
+    return fourier_encoding_apply(params["fourier_B"], x, cfg.fourier)
+
+
 def _density_from_base(h: jnp.ndarray):
     """Split trunk output into (density, geo features). The -1 bias keeps the
     field near-empty at init (densities ~ e^-1 * table-noise)."""
@@ -157,7 +183,7 @@ def nerfacto_density(
         if cfg.disable_scene_contraction
         else contract_to_unit_cube(positions)
     )
-    enc = hash_encoding_apply(params["hash_table"], x, cfg.hash)
+    enc = _field_encode(params, cfg, x)
     h = mlp_apply(params["base_mlp"], enc, cfg.base_mlp)
     density, _ = _density_from_base(h)
     return density
@@ -183,7 +209,7 @@ def nerfacto_field_apply(
         if cfg.disable_scene_contraction
         else contract_to_unit_cube(positions)
     )
-    enc = hash_encoding_apply(params["hash_table"], x, cfg.hash)
+    enc = _field_encode(params, cfg, x)
     h = mlp_apply(params["base_mlp"], enc, cfg.base_mlp)
     density, geo = _density_from_base(h)
 
@@ -253,11 +279,18 @@ def nerfacto_field_apply(
 @dataclasses.dataclass(frozen=True)
 class DensityFieldConfig:
     """Small density-only field (reference proposal nets: 5 levels, 2^17
-    table, hidden 16, max_res 128/256; nerfacto.py:183-188)."""
+    table, hidden 16, max_res 128/256; nerfacto.py:183-188). encoding
+    'fourier' swaps the grid for Fourier features (TPU operating point; the
+    proposal rounds evaluate ~7x more points than the final field, so this is
+    where the gather bound hurts most)."""
 
+    encoding: str = "hash"
     hash: HashEncodingConfig = HashEncodingConfig(
         num_levels=5, features_per_level=2, log2_hashmap_size=17,
         base_resolution=16, max_resolution=128,
+    )
+    fourier: FourierEncodingConfig = FourierEncodingConfig(
+        num_levels=5, features_per_level=16, base_resolution=16, max_resolution=128
     )
     hidden_dim: int = 16
     num_layers: int = 2
@@ -265,9 +298,13 @@ class DensityFieldConfig:
     compute_dtype: str = "float32"
 
     @property
+    def encoding_dim(self) -> int:
+        return self.hash.output_dim if self.encoding == "hash" else self.fourier.output_dim
+
+    @property
     def mlp(self) -> MLPConfig:
         return MLPConfig(
-            in_dim=self.hash.output_dim,
+            in_dim=self.encoding_dim,
             num_layers=self.num_layers,
             layer_width=self.hidden_dim,
             out_dim=1,
@@ -277,7 +314,12 @@ class DensityFieldConfig:
 
 def density_field_init(key: jax.Array, cfg: DensityFieldConfig) -> dict:
     k1, k2 = jax.random.split(key)
-    return {"hash_table": hash_encoding_init(k1, cfg.hash), "mlp": mlp_init(k2, cfg.mlp)}
+    enc = (
+        {"hash_table": hash_encoding_init(k1, cfg.hash)}
+        if cfg.encoding == "hash"
+        else {"fourier_B": fourier_encoding_init(k1, cfg.fourier)}
+    )
+    return {**enc, "mlp": mlp_init(k2, cfg.mlp)}
 
 
 def density_field_apply(params: dict, cfg: DensityFieldConfig, positions: jnp.ndarray):
@@ -286,7 +328,7 @@ def density_field_apply(params: dict, cfg: DensityFieldConfig, positions: jnp.nd
         if cfg.disable_scene_contraction
         else contract_to_unit_cube(positions)
     )
-    enc = hash_encoding_apply(params["hash_table"], x, cfg.hash)
+    enc = _field_encode(params, cfg, x)
     h = mlp_apply(params["mlp"], enc, cfg.mlp)
     density, _ = _density_from_base(h)
     return density

@@ -49,6 +49,12 @@ class NerfactoConfig:
     (nerfacto.py:77-221)."""
 
     num_images: int = 1
+    # 'hash' = reference-parity tcnn-style grid; 'fourier' = MXU-native
+    # gather-free field (TPU operating point, see models/fields.py)
+    field_type: str = "hash"
+    fourier_num_levels: int = 8
+    fourier_features_per_level: int = 32
+    proposal_fourier_features_per_level: int = 16
     near_plane: float = 0.001
     far_plane: float = 1000.0
     background_color: str = "last_sample"
@@ -92,8 +98,17 @@ class NerfactoConfig:
 
     @property
     def field(self) -> NerfactoFieldConfig:
+        from nerf_kbs_tpu.ops.encoding import FourierEncodingConfig
+
         return NerfactoFieldConfig(
             num_images=self.num_images,
+            encoding=self.field_type,
+            fourier=FourierEncodingConfig(
+                num_levels=self.fourier_num_levels,
+                features_per_level=self.fourier_features_per_level,
+                base_resolution=self.base_res,
+                max_resolution=self.max_res,
+            ),
             hash=HashEncodingConfig(
                 num_levels=self.num_levels,
                 features_per_level=self.features_per_level,
@@ -114,7 +129,16 @@ class NerfactoConfig:
         )
 
     def proposal_field(self, i: int) -> DensityFieldConfig:
+        from nerf_kbs_tpu.ops.encoding import FourierEncodingConfig
+
         return DensityFieldConfig(
+            encoding=self.field_type,
+            fourier=FourierEncodingConfig(
+                num_levels=self.proposal_num_levels,
+                features_per_level=self.proposal_fourier_features_per_level,
+                base_resolution=16,
+                max_resolution=self.proposal_max_res[i],
+            ),
             hash=HashEncodingConfig(
                 num_levels=self.proposal_num_levels,
                 features_per_level=2,

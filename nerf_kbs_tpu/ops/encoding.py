@@ -260,7 +260,11 @@ class _LaneConstants:
 
 def _lane_constants(config: HashEncodingConfig) -> _LaneConstants:
     L = config.num_levels
-    n_lanes = _round_up(8 * L, 128)
+    # lanes are NOT padded up to 128: XLA's gather cost is per LOGICAL element
+    # (measured ~3.2x slower at (N, 128) vs (N, 40) for 5-level fields), so a
+    # narrow logical minor dim beats padded gathers even though the physical
+    # tile still pads lanes to 128.
+    n_lanes = 8 * L
     res = np.ones(n_lanes, np.float32)
     bits = np.zeros((3, n_lanes), np.float32)
     dense = np.zeros(n_lanes, bool)
@@ -339,3 +343,61 @@ def hash_encoding_apply(
         )
     out = jnp.stack(feats, axis=-1).reshape(B, L * config.features_per_level)
     return out.reshape(*batch_shape, config.output_dim)
+
+
+# ---------------------------------------------------------------------------
+# Multiscale random Fourier features — the MXU-native field encoding
+# ---------------------------------------------------------------------------
+#
+# Per-corner hash-grid gathers are scalar-bound on TPU (measured 15-116M
+# lookups/s on v5e vs ~10^11/s of bf16 MACs), so the TPU-first operating
+# point replaces the spatial hash with multiscale random Fourier features:
+# enc(x) = [sin(2 pi B_l x), cos(2 pi B_l x)]_l with per-level frequency
+# magnitudes matching the hash levels' resolutions (base_res -> max_res
+# geometric schedule). One (B, 3) @ (3, D/2) matmul + sin/cos — everything
+# rides the MXU/VPU, nothing gathers. This is the same design lineage as
+# TPU-era NeRFs (mip-NeRF 360 / Block-NeRF: MLP fields, no hash grids).
+
+
+@dataclasses.dataclass(frozen=True)
+class FourierEncodingConfig:
+    num_levels: int = 8
+    features_per_level: int = 32  # sin+cos pairs per level (must be even)
+    base_resolution: int = 16
+    max_resolution: int = 2048
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    @property
+    def resolutions(self):
+        if self.num_levels == 1:
+            return (float(self.base_resolution),)
+        g = float(
+            np.exp(
+                (np.log(self.max_resolution) - np.log(self.base_resolution))
+                / (self.num_levels - 1)
+            )
+        )
+        return tuple(self.base_resolution * g**l for l in range(self.num_levels))
+
+
+def fourier_encoding_init(key: jax.Array, config: FourierEncodingConfig) -> jnp.ndarray:
+    """Frequency matrix B (3, output_dim/2): per level, random unit directions
+    scaled by the level resolution (cycles across the unit cube)."""
+    half = config.features_per_level // 2
+    dirs = jax.random.normal(key, (3, config.num_levels * half))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=0, keepdims=True)
+    scales = jnp.repeat(jnp.asarray(config.resolutions, jnp.float32), half)
+    return dirs * scales[None, :]
+
+
+def fourier_encoding_apply(
+    B: jnp.ndarray, positions: jnp.ndarray, config: FourierEncodingConfig
+) -> jnp.ndarray:
+    """positions in [0, 1]^3 -> (..., output_dim). B is kept frozen (stop
+    gradient): moving frequencies destabilizes training."""
+    B = jax.lax.stop_gradient(B)
+    proj = (2.0 * jnp.pi) * jnp.matmul(positions, B)
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)

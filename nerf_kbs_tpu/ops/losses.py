@@ -43,13 +43,15 @@ def _outer_weights(t_query: jnp.ndarray, t_env: jnp.ndarray, w_env: jnp.ndarray)
 
     t_query: (R, Sq+1) edges; t_env: (R, Se+1) edges; w_env: (R, Se).
     """
+    from nerf_kbs_tpu.ops.samplers import batched_searchsorted
+
     cw = jnp.concatenate(
         [jnp.zeros_like(w_env[..., :1]), jnp.cumsum(w_env, axis=-1)], axis=-1
     )  # (R, Se+1)
 
     # index of rightmost env edge <= x  (per ray)
     def lookup(x):
-        inds = jax.vmap(lambda e, q: jnp.searchsorted(e, q, side="right"))(t_env, x) - 1
+        inds = batched_searchsorted(t_env, x) - 1
         return jnp.clip(inds, 0, t_env.shape[-1] - 1)
 
     idx_lo = lookup(t_query[..., :-1])  # env bin containing query start

@@ -97,6 +97,17 @@ def spacing_to_euclidean(
 # ---------------------------------------------------------------------------
 
 
+def batched_searchsorted(sorted_arr: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """Per-row searchsorted(side='right'): counts of sorted_arr[r, :] <=
+    queries[r, :]. Shapes (R, S) x (R, Q) -> (R, Q) int32.
+
+    TPU note: vmapped jnp.searchsorted lowers to a sequential scan (measured
+    ~86 ms for the proposal chain at 4096 rays); this O(S*Q) comparison-sum
+    form is pure VPU work and is ~2 orders faster at NeRF sizes."""
+    cmp = sorted_arr[:, :, None] <= queries[:, None, :]
+    return jnp.sum(cmp, axis=1).astype(jnp.int32)
+
+
 def uniform_sampler(
     rays: RayBundle,
     num_samples: int,
@@ -163,9 +174,7 @@ def pdf_sampler(
     edges = jnp.concatenate([ray_samples.spacing_starts, ray_samples.spacing_ends[..., -1:]], -1)
 
     # vectorized inverse CDF with linear interpolation inside bins
-    inds = jnp.clip(
-        jax.vmap(jnp.searchsorted, in_axes=(0, 0))(cdf, u) - 1, 0, S_old - 1
-    )  # (R, num_bins)
+    inds = jnp.clip(batched_searchsorted(cdf, u) - 1, 0, S_old - 1)  # (R, num_bins)
     cdf_lo = jnp.take_along_axis(cdf, inds, axis=-1)
     cdf_hi = jnp.take_along_axis(cdf, inds + 1, axis=-1)
     edge_lo = jnp.take_along_axis(edges, inds, axis=-1)
@@ -173,7 +182,9 @@ def pdf_sampler(
     denom = jnp.maximum(cdf_hi - cdf_lo, 1e-10)
     frac = jnp.clip((u - cdf_lo) / denom, 0.0, 1.0)
     new_edges = edge_lo + frac * (edge_hi - edge_lo)
-    new_edges = jnp.sort(new_edges, axis=-1)  # guard monotonicity
+    # monotone by construction up to float rounding; cummax guards the
+    # residual wiggle far cheaper than a sort
+    new_edges = jax.lax.cummax(new_edges, axis=1)
 
     s_starts, s_ends = new_edges[..., :-1], new_edges[..., 1:]
     nears = rays.nears if rays.nears is not None else jnp.zeros((R, 1))

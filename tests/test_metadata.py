@@ -1,0 +1,160 @@
+import json
+import struct
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nerf_kbs_tpu.data.dataparsers.suds_metadata import SudsMetadataConfig
+from nerf_kbs_tpu.data.dataparsers.transforms_json import TransformsJsonConfig
+from nerf_kbs_tpu.data.image_metadata import ImageMetadata
+from nerf_kbs_tpu.process_data import colmap_io as C
+from nerf_kbs_tpu.process_data import metadata as M
+
+
+def write_text_model(d: Path, n=6):
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "cameras.txt").write_text(
+        "# cameras\n1 PINHOLE 32 24 40.0 41.0 16.0 12.0\n"
+    )
+    lines = ["# images"]
+    rng = np.random.default_rng(0)
+    for i in range(1, n + 1):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        t = rng.normal(size=3) * 0.1
+        lines.append(
+            f"{i} {q[0]} {q[1]} {q[2]} {q[3]} {t[0]} {t[1]} {t[2]} 1 frame_{i:04}.png"
+        )
+        lines.append("")  # empty 2D-point line
+    (d / "images.txt").write_text("\n".join(lines))
+
+
+def write_binary_model(d: Path, n=3):
+    d.mkdir(parents=True, exist_ok=True)
+    with open(d / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 32, 24))  # PINHOLE
+        f.write(struct.pack("<dddd", 40.0, 41.0, 16.0, 12.0))
+    rng = np.random.default_rng(1)
+    with open(d / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", n))
+        for i in range(1, n + 1):
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            f.write(struct.pack("<i", i))
+            f.write(struct.pack("<dddd", *q))
+            f.write(struct.pack("<ddd", 0.1 * i, 0.0, 0.0))
+            f.write(struct.pack("<i", 1))
+            f.write(f"frame_{i:04}.png".encode() + b"\x00")
+            f.write(struct.pack("<Q", 2))  # two 2D points to skip
+            f.write(struct.pack("<ddq", 1.0, 2.0, -1) * 2)
+
+
+def test_read_text_and_binary_models_agree_structurally(tmp_path):
+    write_text_model(tmp_path / "text")
+    cams_t, imgs_t = C.read_model(str(tmp_path / "text"))
+    assert cams_t[1].model == "PINHOLE" and cams_t[1].width == 32
+    assert len(imgs_t) == 6 and imgs_t[1].name == "frame_0001.png"
+
+    write_binary_model(tmp_path / "bin")
+    cams_b, imgs_b = C.read_model(str(tmp_path / "bin"))
+    assert cams_b[1].params[0] == pytest.approx(40.0)
+    assert len(imgs_b) == 3
+    # pose roundtrip: c2w @ w2c == I
+    im = imgs_b[1]
+    R = C.qvec2rotmat(im.qvec)
+    c2w_gl = C.colmap_pose_to_c2w(im)
+    # undo GL flip then verify inverse relation
+    from nerf_kbs_tpu.cameras import poses as P
+
+    c2w_cv = P.world_to_opencv(c2w_gl)
+    np.testing.assert_allclose(c2w_cv[:3, :3] @ R, np.eye(3), atol=1e-10)
+    np.testing.assert_allclose(R @ c2w_cv[:3, 3] + im.tvec, 0.0, atol=1e-10)
+
+
+def test_colmap_to_json_roundtrips_through_parser(tmp_path):
+    write_text_model(tmp_path / "sparse")
+    n = C.colmap_to_json(str(tmp_path / "sparse"), str(tmp_path), masks_rel_dir="masks")
+    assert n == 6
+    meta = json.loads((tmp_path / "transforms.json").read_text())
+    assert len(meta["frames"]) == 6
+    assert "applied_transform" in meta
+    assert meta["frames"][0]["mask_path"].startswith("masks/")
+    # parseable by TransformsJsonConfig (images absent; poses/intrinsics only)
+    from PIL import Image
+
+    for fr in meta["frames"]:
+        p = tmp_path / fr["file_path"]
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(np.zeros((24, 32, 3), np.uint8)).save(p)
+        mp = tmp_path / fr["mask_path"]
+        mp.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(np.ones((24, 32), np.uint8) * 255).save(mp)
+    out = TransformsJsonConfig(data=str(tmp_path), train_split_fraction=0.75).parse("train")
+    assert len(out.image_filenames) == 5
+    assert out.mask_filenames is not None
+
+
+def test_val_frames_and_neighbors():
+    val = M.get_val_frames(20, test_every=5)
+    assert val == {5, 10, 15}
+    val2 = M.get_val_frames(10, test_every=None, train_every=2)
+    assert 1 in val2 and 0 not in val2
+    # neighbors skip val frames (indices are stereo-interleaved: idx//2 = frame)
+    vf = {2}
+    assert M.get_neighbor(2, vf, 1) == 3  # (2+1)//2=1 not val
+    assert M.get_neighbor(3, vf, 1) == 6  # 4//2=2 and 5//2=2 are val; 6//2=3 ok
+
+
+def test_scale_bounds_and_timestamps():
+    items = []
+    for i in range(4):
+        c2w = np.eye(4)[:3].astype(np.float32)
+        c2w[:3, 3] = [i * 10.0, 0, 0]
+        items.append(ImageMetadata(f"img{i}.png", c2w, 8, 6,
+                                   np.array([10.0, 10, 4, 3]), i, float(i), 0))
+    mn = np.array([-5.0, -5, -5])
+    mx = np.array([35.0, 5, 5])
+    origin, psf, bounds = M.scale_bounds(items, mn, mx)
+    np.testing.assert_allclose(origin, [15, 0, 0])
+    assert psf == pytest.approx(np.linalg.norm([20, 5, 5]))
+    for it in items:
+        assert np.abs(it.c2w[:3, 3]).max() <= 1.0
+        assert it.pose_scale_factor == pytest.approx(psf)
+    for it in items:
+        M.normalize_timestamp(it, 0, 3)
+    assert items[0].time == -1.0 and items[-1].time == 1.0
+
+
+def test_unproject_depth_points_center_ray():
+    c2w = np.eye(4)[:3]
+    intr = np.array([10.0, 10.0, 4.0, 3.0])
+    depth = np.zeros((6, 8), np.float32)
+    depth[3, 4] = 5.0  # near principal point, z-depth 5
+    pts = M.unproject_depth_points(c2w, intr, depth)
+    assert pts.shape == (1, 3)
+    assert pts[0, 2] == pytest.approx(-5.0, rel=1e-3)  # GL camera looks -z
+
+
+def test_build_kitti_metadata_end_to_end(tmp_path):
+    write_text_model(tmp_path / "colmap" / "0", n=8)
+    cfg = M.KittiMetadataConfig(
+        colmap_sparse_dir=str(tmp_path / "colmap" / "0"),
+        image_dir=str(tmp_path / "fill_img"),
+        motion_dir=str(tmp_path / "motion"),
+        sequence="0003",
+        output_path=str(tmp_path / "metadata.json"),
+        test_every=4,
+    )
+    items = M.build_kitti_metadata(cfg)
+    assert len(items) == 8
+    assert sum(it.is_val for it in items) == 1
+    meta = json.loads((tmp_path / "metadata.json").read_text())
+    assert meta["pose_scale_factor"] > 0
+    assert len(meta["frames"]) == 8
+    # and it parses back through the SUDS dataparser
+    out = SudsMetadataConfig(metadata_path=str(tmp_path / "metadata.json")).parse("train")
+    assert len(out.image_filenames) == 7
+    assert out.times is not None
+    assert abs(out.metadata["pose_scale_factor"] - meta["pose_scale_factor"]) < 1e-9
