@@ -43,23 +43,25 @@ def _outer_weights(t_query: jnp.ndarray, t_env: jnp.ndarray, w_env: jnp.ndarray)
 
     t_query: (R, Sq+1) edges; t_env: (R, Se+1) edges; w_env: (R, Se).
     """
-    from nerf_kbs_tpu.ops.samplers import batched_searchsorted
-
     cw = jnp.concatenate(
         [jnp.zeros_like(w_env[..., :1]), jnp.cumsum(w_env, axis=-1)], axis=-1
-    )  # (R, Se+1)
+    )  # (R, Se+1), monotone non-negative
 
-    # index of rightmost env edge <= x  (per ray)
-    def lookup(x):
-        inds = batched_searchsorted(t_env, x) - 1
-        return jnp.clip(inds, 0, t_env.shape[-1] - 1)
+    big = jnp.float32(1e10)
 
-    idx_lo = lookup(t_query[..., :-1])  # env bin containing query start
-    idx_hi = lookup(t_query[..., 1:])  # env bin containing query end
-    # outer sum: cw[min(idx_hi + 1, Se)] - cw[idx_lo]
-    hi = jnp.clip(idx_hi + 1, 0, w_env.shape[-1])
-    lo = jnp.clip(idx_lo, 0, w_env.shape[-1])
-    return jnp.take_along_axis(cw, hi, axis=-1) - jnp.take_along_axis(cw, lo, axis=-1)
+    def cw_at_or_before(x):
+        """cw at the rightmost env edge <= x (0 when none) — gather-free
+        masked max (see samplers.pdf_sampler for the TPU rationale)."""
+        mask = t_env[:, :, None] <= x[:, None, :]
+        return jnp.maximum(jnp.max(jnp.where(mask, cw[:, :, None], -big), axis=1), 0.0)
+
+    def cw_after(x):
+        """cw at the first env edge > x (total mass when none)."""
+        mask = t_env[:, :, None] > x[:, None, :]
+        out = jnp.min(jnp.where(mask, cw[:, :, None], big), axis=1)
+        return jnp.minimum(out, cw[:, -1:])
+
+    return cw_after(t_query[..., 1:]) - cw_at_or_before(t_query[..., :-1])
 
 
 def interlevel_loss(final_samples, final_weights: jnp.ndarray, history) -> jnp.ndarray:

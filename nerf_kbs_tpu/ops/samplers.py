@@ -173,12 +173,19 @@ def pdf_sampler(
     # existing bin edges in s-domain: (R, S_old + 1)
     edges = jnp.concatenate([ray_samples.spacing_starts, ray_samples.spacing_ends[..., -1:]], -1)
 
-    # vectorized inverse CDF with linear interpolation inside bins
-    inds = jnp.clip(batched_searchsorted(cdf, u) - 1, 0, S_old - 1)  # (R, num_bins)
-    cdf_lo = jnp.take_along_axis(cdf, inds, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, inds + 1, axis=-1)
-    edge_lo = jnp.take_along_axis(edges, inds, axis=-1)
-    edge_hi = jnp.take_along_axis(edges, inds + 1, axis=-1)
+    # Vectorized inverse CDF with linear interpolation inside bins — fully
+    # gather-free: per-row take_along_axis lowers to scalar-rate gathers on
+    # TPU (measured ~20 ms/step here), but cdf/edges are monotone and
+    # non-negative, so "value at rightmost index with cdf <= u" is a masked
+    # max and "value at the next index" a masked min. One (R, S+1, Q) mask,
+    # four fused VPU reductions.
+    mask = cdf[:, :, None] <= u[:, None, :]  # (R, S_old+1, Q)
+    big = jnp.float32(1e10)
+    cdf_lo = jnp.max(jnp.where(mask, cdf[:, :, None], -big), axis=1)
+    cdf_hi = jnp.min(jnp.where(mask, big, cdf[:, :, None]), axis=1)
+    edge_lo = jnp.max(jnp.where(mask, edges[:, :, None], -big), axis=1)
+    edge_hi = jnp.min(jnp.where(mask, big, edges[:, :, None]), axis=1)
+    # u in (0, 1): cdf[0] = 0 <= u and cdf[-1] = 1 > u, so both sides exist
     denom = jnp.maximum(cdf_hi - cdf_lo, 1e-10)
     frac = jnp.clip((u - cdf_lo) / denom, 0.0, 1.0)
     new_edges = edge_lo + frac * (edge_hi - edge_lo)
