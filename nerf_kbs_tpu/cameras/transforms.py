@@ -67,28 +67,47 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows, axis=-1).reshape(v.shape[:-1] + (3, 3))
 
 
+def _so3_coefficients(w: jnp.ndarray):
+    """(A, B, C) with R = I + A K + B K^2, V = I + B K + C K^2 for K = skew(w)
+    (UNNORMALIZED). Taylor-switched near theta = 0 so gradients are finite at
+    the identity (a naive norm-then-divide gives NaN grads at w = 0, which is
+    exactly where the camera optimizer starts)."""
+    theta_sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-24))
+    small = theta_sq < 1e-8
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    safe = jnp.where(small, 1.0, theta)
+    A = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(safe) / safe)
+    B = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(safe)) / safe_sq)
+    C = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
+                  (safe - jnp.sin(safe)) / (safe_sq * safe))
+    return A[..., None], B[..., None], C[..., None]
+
+
 def exp_map_so3(w: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Rodrigues SO(3) exponential: (..., 3) axis-angle -> (..., 3, 3)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True).clip(eps)
-    K = skew(w / theta)
-    th = theta[..., None]
+    """Rodrigues SO(3) exponential: (..., 3) axis-angle -> (..., 3, 3).
+    Differentiable everywhere including w = 0."""
+    del eps
+    A, B, _ = _so3_coefficients(w)
+    K = skew(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
-    return I + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
+    return I + A * K + B * (K @ K)
 
 
 def exp_map_se3(tangent: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """SE(3) exponential: (..., 6) [v, w] -> (..., 3, 4) rigid transform.
 
     Used by the camera optimizer (the reference enables/disables a nerfstudio
-    CameraOptimizer, train.py:66-69; 'SO3xR3'/'SE3' modes)."""
+    CameraOptimizer, train.py:66-69; 'SO3xR3'/'SE3' modes). Differentiable at
+    the identity (see _so3_coefficients)."""
+    del eps
     v, w = tangent[..., :3], tangent[..., 3:6]
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True).clip(eps)
-    K = skew(w / theta)
-    th = theta[..., None]
+    A, B, C = _so3_coefficients(w)
+    K = skew(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=tangent.dtype), K.shape)
-    R = I + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
-    V = I + ((1.0 - jnp.cos(th)) / th) * K + ((th - jnp.sin(th)) / th) * (K @ K)
-    t = (V @ v[..., None])
+    R = I + A * K + B * (K @ K)
+    V = I + B * K + C * (K @ K)
+    t = V @ v[..., None]
     return jnp.concatenate([R, t], axis=-1)
 
 

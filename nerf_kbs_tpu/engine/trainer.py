@@ -101,6 +101,8 @@ class Trainer:
 
         self._train_step = self._build_train_step()
         self._render_chunk = self._build_render_chunk()
+        self._lpips = None
+        self._lpips_checked = False
 
         if config.load_dir is not None:
             self.load_checkpoint(config.load_dir)
@@ -110,9 +112,11 @@ class Trainer:
         model, mcfg, optimizer = self.model, self.model_config, self.optimizer
 
         def train_step(params, opt_state, cameras, batch, key, step):
-            rays = generate_rays(cameras, batch["ray_indices"])
-
             def loss_fn(p):
+                # optional camera-pose refinement: rays must be generated
+                # inside the loss so pose gradients flow (camera_opt group)
+                delta = getattr(model, "camera_deltas", lambda _p: None)(p)
+                rays = generate_rays(cameras, batch["ray_indices"], c2w_delta=delta)
                 out = model.forward(p, mcfg, rays, key=key, step=step, train=True)
                 return model.loss(mcfg, out, batch, train=True)
 
@@ -203,7 +207,7 @@ class Trainer:
             k: np.concatenate(v, 0)[:total].reshape(h, w, -1) for k, v in outs.items()
         }
 
-    def eval_image(self, idx: int) -> dict:
+    def eval_image(self, idx: int, write_images: bool = True) -> dict:
         outputs = self.render_camera(idx)
         gt = self.dm.eval_image(idx)
         pred = jnp.asarray(outputs["rgb"])
@@ -213,15 +217,52 @@ class Trainer:
             "ssim": float(ssim_fn(pred, gt_img)),
             "image_idx": idx,
         }
+        if self._lpips is None and not self._lpips_checked:
+            from nerf_kbs_tpu.utils.lpips import load_lpips
+
+            self._lpips = load_lpips()
+            self._lpips_checked = True
+        if self._lpips is not None:
+            metrics["lpips"] = float(self._lpips(pred, gt_img))
+        if write_images:
+            self._write_eval_images(idx, outputs, gt)
         return metrics
 
+    def _write_eval_images(self, idx: int, outputs: dict, gt: dict) -> None:
+        """GT|pred composites + depth/semantic panels (the reference dumps
+        the same dictionaries every steps_per_eval_image, nerfacto.py:580-612)."""
+        from PIL import Image
+
+        from nerf_kbs_tpu.utils import colormaps as cm
+
+        d = self.out_dir / "eval_images"
+        d.mkdir(exist_ok=True)
+        composite = cm.side_by_side(gt["image"], outputs["rgb"])
+        Image.fromarray(cm.to_uint8(composite)).save(
+            d / f"step{self.step:08d}_img{idx}_rgb.png"
+        )
+        if "depth" in outputs:
+            panel = cm.apply_depth_colormap(outputs["depth"], outputs.get("accumulation"))
+            Image.fromarray(cm.to_uint8(panel)).save(
+                d / f"step{self.step:08d}_img{idx}_depth.png"
+            )
+        if "semantics" in outputs and getattr(self.dm, "semantics", None):
+            labels = np.argmax(outputs["semantics"], axis=-1)
+            panel = cm.apply_semantic_colormap(labels, self.dm.semantics.colors)
+            Image.fromarray(cm.to_uint8(panel)).save(
+                d / f"step{self.step:08d}_img{idx}_semantics.png"
+            )
+
     def eval_all_images(self) -> dict:
-        ms = [self.eval_image(i) for i in range(self.dm.num_eval_images())]
-        return {
+        ms = [self.eval_image(i, write_images=False) for i in range(self.dm.num_eval_images())]
+        out = {
             "psnr": float(np.mean([m["psnr"] for m in ms])),
             "ssim": float(np.mean([m["ssim"] for m in ms])),
             "num_images": len(ms),
         }
+        if ms and "lpips" in ms[0]:
+            out["lpips"] = float(np.mean([m["lpips"] for m in ms]))
+        return out
 
     # ------------------------------------------------------------ checkpoint
     def save_checkpoint(self) -> str:

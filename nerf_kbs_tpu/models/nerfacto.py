@@ -59,6 +59,7 @@ class NerfactoConfig:
     far_plane: float = 1000.0
     background_color: str = "last_sample"
     hidden_dim: int = 64
+    num_layers: int = 2  # base-MLP depth (deeper helps the fourier field)
     hidden_dim_color: int = 64
     hidden_dim_transient: int = 64
     num_levels: int = 16
@@ -95,6 +96,10 @@ class NerfactoConfig:
     num_semantic_classes: int = 0
     appearance_embedding_dim: int = 32
     compute_dtype: str = "float32"
+    # per-camera pose refinement: 'off' (reference nerfacto/semantic configs
+    # disable it, train.py:66-69) or 'SO3xR3' (6-DoF tangent deltas applied to
+    # c2w at ray generation; see cameras.transforms.exp_map_se3)
+    camera_optimizer: str = "off"
 
     @property
     def field(self) -> NerfactoFieldConfig:
@@ -117,6 +122,7 @@ class NerfactoConfig:
                 max_resolution=self.max_res,
             ),
             hidden_dim=self.hidden_dim,
+            num_layers=self.num_layers,
             hidden_dim_color=self.hidden_dim_color,
             hidden_dim_transient=self.hidden_dim_transient,
             appearance_embedding_dim=self.appearance_embedding_dim,
@@ -154,19 +160,32 @@ class NerfactoConfig:
 
 def init(key: jax.Array, cfg: NerfactoConfig) -> dict:
     keys = jax.random.split(key, 1 + cfg.num_proposal_iterations)
-    return {
+    params = {
         "fields": nerfacto_field_init(keys[0], cfg.field),
         "proposal_networks": [
             density_field_init(keys[1 + i], cfg.proposal_field(i))
             for i in range(cfg.num_proposal_iterations)
         ],
     }
+    if cfg.camera_optimizer != "off":
+        params["camera_opt"] = jnp.zeros((cfg.num_images, 6))
+    return params
 
 
 def param_groups(params: dict) -> dict:
     """Optimizer param groups matching the reference's two-group layout
-    (train.py:85-98: 'proposal_networks' and 'fields')."""
-    return {"proposal_networks": params["proposal_networks"], "fields": params["fields"]}
+    (train.py:85-98: 'proposal_networks' and 'fields'; + optional
+    'camera_opt')."""
+    return {k: params[k] for k in params}
+
+
+def camera_deltas(params: dict) -> Optional[jnp.ndarray]:
+    """(N, 3, 4) per-camera pose adjustments for generate_rays, or None."""
+    if "camera_opt" not in params:
+        return None
+    from nerf_kbs_tpu.cameras.transforms import exp_map_se3
+
+    return exp_map_se3(params["camera_opt"])
 
 
 def forward(

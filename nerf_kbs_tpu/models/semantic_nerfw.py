@@ -57,6 +57,7 @@ def init(key: jax.Array, cfg: SemanticNerfWConfig) -> dict:
 
 
 param_groups = _nerfacto.param_groups
+camera_deltas = _nerfacto.camera_deltas
 
 
 def forward(

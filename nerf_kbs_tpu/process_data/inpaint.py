@@ -134,3 +134,56 @@ def run(cfg: InpaintDriverConfig) -> list[str]:
         Image.fromarray((img * 255).astype(np.uint8)).save(p, quality=95)
         written.append(str(p))
     return written
+
+
+# ---------------------------------------------------------------------------
+# self-supervised training
+# ---------------------------------------------------------------------------
+
+
+def make_inpaint_train_step(generator, lr: float = 1e-4):
+    """Self-supervised trainer for the InpaintGenerator: random masks over
+    COMPLETE clips, L1 reconstruction with a 4x weight inside the hole
+    (standard video-inpainting recipe; gives users a path to weights since
+    the reference's E2FGVI checkpoint is absent from its repo).
+
+    Returns (init_opt_state_fn, step_fn): step_fn(variables, opt_state,
+    frames, masks) -> (variables, opt_state, loss)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    tx = optax.adam(lr)
+
+    def loss_fn(variables, frames, masks):
+        pred = generator.apply(variables, frames, masks)
+        err = jnp.abs(pred - frames)
+        hole = masks[..., None]
+        return jnp.mean(err * (1.0 + 3.0 * hole))
+
+    @jax.jit
+    def step(variables, opt_state, frames, masks):
+        loss, grads = jax.value_and_grad(loss_fn)(variables, frames, masks)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    return tx.init, step
+
+
+def random_stroke_masks(key, t: int, h: int, w: int, num_rects: int = 3):
+    """Random rectangle masks per frame (hole = 1) for self-supervision."""
+    import jax
+    import jax.numpy as jnp
+
+    keys = jax.random.split(key, 4)
+    ys = jax.random.randint(keys[0], (t, num_rects), 0, max(h - 8, 1))
+    xs = jax.random.randint(keys[1], (t, num_rects), 0, max(w - 8, 1))
+    hs = jax.random.randint(keys[2], (t, num_rects), 4, max(h // 3, 5))
+    ws = jax.random.randint(keys[3], (t, num_rects), 4, max(w // 3, 5))
+    yy = jnp.arange(h)[None, :, None, None]
+    xx = jnp.arange(w)[None, None, :, None]
+    inside = (
+        (yy >= ys[:, None, None, :]) & (yy < (ys + hs)[:, None, None, :])
+        & (xx >= xs[:, None, None, :]) & (xx < (xs + ws)[:, None, None, :])
+    )
+    return jnp.any(inside, axis=-1).astype(jnp.float32)

@@ -177,3 +177,37 @@ def test_vanilla_nerf_temporal_distortion_group():
 
     g = jax.grad(loss_fn)(params)
     assert float(jnp.abs(g["temporal_distortion"]["w"][0]).sum()) > 0
+
+
+def test_camera_optimizer_group_and_grads():
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, camera_optimizer="SO3xR3")
+    params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+    assert "camera_opt" in params and params["camera_opt"].shape == (3, 6)
+    assert "camera_opt" in nerfacto.param_groups(params)
+    deltas = nerfacto.camera_deltas(params)
+    assert deltas.shape == (3, 3, 4)
+    # zero tangent -> identity adjustment
+    np.testing.assert_allclose(np.asarray(deltas[0, :, :3]), np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(deltas[0, :, 3]), 0.0, atol=1e-6)
+
+    # gradients flow from rgb loss through ray generation into the poses
+    from nerf_kbs_tpu.cameras.cameras import Cameras, generate_rays
+
+    cams = Cameras(
+        fx=jnp.full((3,), 30.0), fy=jnp.full((3,), 30.0),
+        cx=jnp.full((3,), 8.0), cy=jnp.full((3,), 8.0),
+        c2w=jnp.tile(jnp.eye(4)[:3][None], (3, 1, 1)),
+        width=jnp.full((3,), 16, jnp.int32), height=jnp.full((3,), 16, jnp.int32),
+    )
+    idx = jnp.zeros((8, 3), jnp.int32).at[:, 1].set(jnp.arange(8))
+    batch = {"image": jnp.full((8, 3), 0.5)}
+
+    def loss_fn(p):
+        rays = generate_rays(cams, idx, c2w_delta=nerfacto.camera_deltas(p))
+        out = nerfacto.forward(p, cfg, rays, key=jax.random.PRNGKey(1))
+        return nerfacto.loss(cfg, out, batch)[0]
+
+    g = jax.grad(loss_fn)(params)
+    assert float(jnp.abs(g["camera_opt"]).sum()) > 0

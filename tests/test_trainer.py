@@ -78,6 +78,10 @@ def test_trainer_loss_decreases_on_synthetic_scene(tmp_path):
     assert np.isfinite(out["rgb"]).all()
     em = trainer.eval_image(0)
     assert np.isfinite(em["psnr"])
+    # eval-image composites written (GT|pred + depth panel)
+    dumps = list((trainer.out_dir / "eval_images").glob("*.png"))
+    assert any("rgb" in p.name for p in dumps)
+    assert any("depth" in p.name for p in dumps)
 
 
 def test_trainer_checkpoint_roundtrip(tmp_path):

@@ -1,0 +1,138 @@
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nerf_kbs_tpu.utils import colormaps as cm
+
+
+def test_turbo_and_depth_colormap():
+    x = np.linspace(0, 1, 64).reshape(8, 8)
+    img = cm.apply_turbo(x)
+    assert img.shape == (8, 8, 3)
+    assert img.min() >= 0 and img.max() <= 1
+    # distinct colors at the extremes
+    assert not np.allclose(img[0, 0], img[-1, -1])
+    depth = np.linspace(1, 10, 64).reshape(8, 8, 1)
+    acc = np.ones((8, 8, 1))
+    panel = cm.apply_depth_colormap(depth, acc)
+    assert panel.shape == (8, 8, 3)
+
+
+def test_semantic_colormap_and_composite():
+    colors = np.array([[1.0, 0, 0], [0, 1.0, 0]])
+    labels = np.array([[0, 1], [1, 0]])
+    img = cm.apply_semantic_colormap(labels, colors)
+    np.testing.assert_array_equal(img[0, 0], [1, 0, 0])
+    np.testing.assert_array_equal(img[0, 1], [0, 1, 0])
+    side = cm.side_by_side(np.zeros((4, 5, 3)), np.ones((4, 6, 3)))
+    assert side.shape == (4, 11, 3)
+    assert cm.to_uint8(np.array([[[2.0, -1.0, 0.5]]])).tolist() == [[[255, 0, 127]]]
+
+
+def test_lpips_absent_returns_none(monkeypatch, tmp_path):
+    monkeypatch.setenv("NKT_LPIPS_DIR", str(tmp_path))
+    from nerf_kbs_tpu.utils.lpips import load_lpips
+
+    assert load_lpips() is None
+
+
+def test_profiling_utilities():
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.utils.profiling import StepTimer, install_faulthandler
+
+    install_faulthandler()
+    t = StepTimer()
+    x = jnp.ones((8,)) * 2
+    t.tick(1024, sync_on=x)
+    r = t.rates()
+    assert r["rays_per_sec"] > 0 and r["steps_per_sec"] > 0
+
+
+def test_create_transform_pipeline(tmp_path):
+    from PIL import Image
+
+    from nerf_kbs_tpu.process_data.create_transform import (
+        ProcessImagesConfig,
+        copy_and_downscale,
+        main,
+        split_frame_window,
+    )
+    from tests.test_metadata import write_text_model
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "raw"
+    src.mkdir()
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)).save(
+            src / f"img_{i}.png"
+        )
+    cfg = ProcessImagesConfig(data=str(src), output_dir=str(tmp_path / "proc"),
+                              num_downscales=2)
+    names = copy_and_downscale(cfg)
+    assert len(names) == 6
+    assert (tmp_path / "proc" / "images" / "frame_00000.png").exists()
+    with Image.open(tmp_path / "proc" / "images_4" / "frame_00000.png") as im:
+        assert im.size == (12, 8)
+
+    # provide a pre-existing model ('variant' mode) and produce transforms.json
+    write_text_model(tmp_path / "proc" / "colmap" / "sparse" / "0", n=6)
+    out = main(ProcessImagesConfig(data=str(src), output_dir=str(tmp_path / "proc"),
+                                   use_existing_model=str(tmp_path / "proc" / "colmap" / "sparse" / "0")))
+    meta = json.loads(Path(out).read_text())
+    assert len(meta["frames"]) == 6
+
+    assert split_frame_window([f"{i}.png" for i in range(10)], 2, 5) == [
+        "2.png", "3.png", "4.png"
+    ]
+
+
+def test_raft_flow_extraction_driver(tmp_path):
+    from PIL import Image
+
+    from nerf_kbs_tpu.process_data.raft_driver import FlowExtractConfig, extract_flows
+
+    rng = np.random.default_rng(1)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (32, 40, 3), dtype=np.uint8)).save(
+            d / f"{i:04}.png"
+        )
+    cfg = FlowExtractConfig(image_dir=str(d), output_dir=str(tmp_path / "motion"),
+                            iters=1, width=40, height=32)
+    res = extract_flows(cfg)
+    assert res["pairs"] == 2
+    f = np.load(tmp_path / "motion" / "flow_fwd" / "0000.npy")
+    assert f.shape == (32, 40, 2)
+    assert (tmp_path / "motion" / "flow_bwd" / "0001.npy").exists()
+    assert (tmp_path / "motion" / "flow_viz" / "0000.png").exists()
+
+
+def test_raft_train_step_decreases_loss(tmp_path):
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.process_data.raft_driver import (
+        RaftTrainConfig,
+        make_raft_train_state,
+        make_raft_train_step,
+    )
+
+    cfg = RaftTrainConfig(iters=1, lr=1e-4, num_steps=50)
+    raft, variables, tx, opt_state = make_raft_train_state(cfg, 16, 16)
+    step = make_raft_train_step(raft, tx, cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "img1": jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)), jnp.float32),
+        "img2": jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)), jnp.float32),
+        "flow": jnp.zeros((2, 16, 16, 2)),
+        "valid": jnp.ones((2, 16, 16)),
+    }
+    losses = []
+    for _ in range(8):
+        variables, opt_state, loss, metrics = step(variables, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
