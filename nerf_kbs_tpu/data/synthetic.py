@@ -117,8 +117,13 @@ class SyntheticDataManager:
         def split(d, sl):
             return {k: v[sl] for k, v in d.items()}
 
-        tr = slice(0, num_cameras)
-        ev = slice(num_cameras, num_cameras + num_eval_cameras)
+        # evenly interleave eval cameras through the orbit (matching the
+        # dataparsers' evenly-spaced splits) — holding out a contiguous
+        # sector would make eval an extrapolation task
+        n_total = num_cameras + num_eval_cameras
+        ev_idx = np.linspace(0, n_total - 1, num_eval_cameras + 2, dtype=int)[1:-1]
+        ev = np.asarray(ev_idx)
+        tr = np.setdiff1d(np.arange(n_total), ev)
         self._images = {"train": imgs[tr], "eval": imgs[ev]}
         self._depths = {"train": depths[tr], "eval": depths[ev]} if with_depth else None
         self._cams_np = {"train": split(all_cams, tr), "eval": split(all_cams, ev)}

@@ -221,8 +221,25 @@ def main(argv: Optional[list[str]] = None) -> None:
                 raise SystemExit(f"missing value for {a}")
             overrides[a[2:]] = argv[i + 1]
             i += 2
+    # run modes: --eval-only / --render-only skip training (require
+    # --trainer.load-dir with a checkpoint)
+    eval_only = overrides.pop("eval-only", overrides.pop("eval_only", "false")).lower() in ("1", "true")
+    render_only = overrides.pop("render-only", overrides.pop("render_only", "false")).lower() in ("1", "true")
+    render_dir = overrides.pop("render-dir", overrides.pop("render_dir", "renders"))
+
     spec = apply_overrides(method_registry[method](), overrides)
     trainer = build_trainer(spec)
+    if eval_only:
+        import json as _json
+
+        print(_json.dumps({"step": trainer.step, **trainer.eval_all_images()}))
+        return
+    if render_only:
+        from nerf_kbs_tpu.engine.render import render_trajectory
+
+        written = render_trajectory(trainer, render_dir)
+        print(f"rendered {len(written)} frames to {render_dir}")
+        return
     metrics = trainer.train()
     final = trainer.eval_all_images()
     trainer.save_checkpoint()

@@ -1,0 +1,95 @@
+"""Offline rendering: novel-view trajectories from a trained checkpoint.
+
+The reference's visualization surface is nerfstudio's websocket viewer
+(vis='viewer', train.py:100). Headless TPU pods have no browser attached, so
+the equivalent capability here is offline: interpolate a camera path through
+the training cameras and render RGB/depth frames to disk (PNG sequence,
+assemblable into video). Used via `nkt-train <method> --render-only ...` or
+programmatically."""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from nerf_kbs_tpu.cameras import poses as P
+from nerf_kbs_tpu.utils import colormaps as cm
+
+
+def _slerp_rotations(Ra: np.ndarray, Rb: np.ndarray, t: float) -> np.ndarray:
+    """Geodesic interpolation between two rotation matrices."""
+    M = Ra.T @ Rb
+    # matrix log via axis-angle
+    cos = np.clip((np.trace(M) - 1) / 2, -1.0, 1.0)
+    theta = np.arccos(cos)
+    if theta < 1e-8:
+        return Ra
+    w = (
+        np.array([M[2, 1] - M[1, 2], M[0, 2] - M[2, 0], M[1, 0] - M[0, 1]])
+        / (2 * np.sin(theta))
+    )
+    K = P._skew(w)
+    Rt = np.eye(3) + np.sin(t * theta) * K + (1 - np.cos(t * theta)) * (K @ K)
+    return Ra @ Rt
+
+
+def interpolate_camera_path(c2ws: np.ndarray, frames_per_segment: int = 8) -> np.ndarray:
+    """(N, 3, 4) keyframe poses -> (M, 3, 4) smooth path (slerp rotation +
+    lerp translation between consecutive cameras)."""
+    out = []
+    for i in range(len(c2ws) - 1):
+        Ra, Rb = c2ws[i, :3, :3], c2ws[i + 1, :3, :3]
+        ta, tb = c2ws[i, :3, 3], c2ws[i + 1, :3, 3]
+        for k in range(frames_per_segment):
+            t = k / frames_per_segment
+            R = _slerp_rotations(Ra, Rb, t)
+            out.append(np.concatenate([R, ((1 - t) * ta + t * tb)[:, None]], axis=1))
+    out.append(c2ws[-1])
+    return np.stack(out)
+
+
+def render_trajectory(
+    trainer,
+    output_dir: str,
+    frames_per_segment: int = 8,
+    camera_source: str = "eval",
+    downscale: int = 1,
+) -> list[str]:
+    """Render an interpolated path through the (train|eval) cameras using the
+    trainer's chunked renderer; writes rgb_%05d.png + depth_%05d.png."""
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.cameras.cameras import Cameras
+
+    cams = trainer.train_cameras if camera_source == "train" else trainer.eval_cameras
+    c2ws = np.asarray(cams.c2w)
+    path = interpolate_camera_path(c2ws, frames_per_segment)
+    n = len(path)
+    tiled = lambda v: jnp.broadcast_to(v[:1], (n,) + v.shape[1:])
+    traj_cams = Cameras(
+        fx=tiled(cams.fx) / downscale,
+        fy=tiled(cams.fy) / downscale,
+        cx=tiled(cams.cx) / downscale,
+        cy=tiled(cams.cy) / downscale,
+        c2w=jnp.asarray(path, jnp.float32),
+        width=(tiled(cams.width) // downscale).astype(jnp.int32),
+        height=(tiled(cams.height) // downscale).astype(jnp.int32),
+        times=tiled(cams.times) if cams.times is not None else None,
+    )
+    from PIL import Image
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    written = []
+    for i in range(n):
+        res = trainer.render_camera(i, cameras=traj_cams)
+        p = out / f"rgb_{i:05d}.png"
+        Image.fromarray(cm.to_uint8(res["rgb"])).save(p)
+        if "depth" in res:
+            Image.fromarray(
+                cm.to_uint8(cm.apply_depth_colormap(res["depth"], res.get("accumulation")))
+            ).save(out / f"depth_{i:05d}.png")
+        written.append(str(p))
+    return written

@@ -164,6 +164,12 @@ def nerfacto_tpu_method() -> MethodSpec:
         hidden_dim=128,
         num_images=spec.model.num_images,
     )
+    # lr 1e-3 (reference optimizer point) is stable for the fourier field;
+    # global-norm clipping guards the early high-frequency phase (lr >= 1e-2
+    # diverges, measured on the synthetic scene)
+    spec.optimizers = {
+        g: dataclasses.replace(c, max_norm=1.0) for g, c in spec.optimizers.items()
+    }
     spec.trainer = dataclasses.replace(
         spec.trainer, method_name="nerfacto-tpu", mixed_precision=True
     )
@@ -182,6 +188,7 @@ def synthetic_nerfacto_method() -> MethodSpec:
         log2_hashmap_size=15,
         near_plane=0.05,
         far_plane=8.0,
+        appearance_embedding_dim=0,  # synthetic scene has constant appearance
     )
     spec.trainer = dataclasses.replace(
         spec.trainer,

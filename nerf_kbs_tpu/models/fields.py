@@ -135,11 +135,12 @@ def nerfacto_field_init(key: jax.Array, cfg: NerfactoFieldConfig) -> dict:
         ),
         "base_mlp": mlp_init(ks[1], cfg.base_mlp),
         "rgb_mlp": mlp_init(ks[2], cfg.rgb_mlp),
-        "appearance_emb": jax.random.normal(
-            ks[3], (cfg.num_images, cfg.appearance_embedding_dim)
-        )
-        * 0.1,
     }
+    if cfg.appearance_embedding_dim > 0:
+        params["appearance_emb"] = (
+            jax.random.normal(ks[3], (cfg.num_images, cfg.appearance_embedding_dim))
+            * 0.1
+        )
     if cfg.use_semantics:
         params["semantic_mlp"] = mlp_init(ks[4], cfg.semantic_mlp)
     if cfg.use_transient_embedding:
@@ -217,15 +218,22 @@ def nerfacto_field_apply(
     d_enc = jnp.broadcast_to(d_enc[:, None, :], (R, S, d_enc.shape[-1]))
 
     cam = camera_indices[..., 0]  # (R,)
-    if train or not cfg.use_average_appearance_embedding:
-        app = params["appearance_emb"][cam]  # (R, A)
+    if cfg.appearance_embedding_dim > 0:
+        # NOTE the appearance embedding absorbs per-image color signal; at
+        # eval the mean embedding is used (reference
+        # use_average_appearance_embedding) which costs PSNR on novel views.
+        # Set appearance_embedding_dim=0 for appearance-constant captures.
+        if train or not cfg.use_average_appearance_embedding:
+            app = params["appearance_emb"][cam]  # (R, A)
+        else:
+            app = jnp.broadcast_to(
+                jnp.mean(params["appearance_emb"], axis=0),
+                (R, cfg.appearance_embedding_dim),
+            )
+        app = jnp.broadcast_to(app[:, None, :], (R, S, cfg.appearance_embedding_dim))
+        rgb_in = jnp.concatenate([geo, d_enc, app], axis=-1)
     else:
-        app = jnp.broadcast_to(
-            jnp.mean(params["appearance_emb"], axis=0), (R, cfg.appearance_embedding_dim)
-        )
-    app = jnp.broadcast_to(app[:, None, :], (R, S, cfg.appearance_embedding_dim))
-
-    rgb_in = jnp.concatenate([geo, d_enc, app], axis=-1)
+        rgb_in = jnp.concatenate([geo, d_enc], axis=-1)
     rgb = mlp_apply(params["rgb_mlp"], rgb_in, cfg.rgb_mlp)
 
     out = {"density": density, "rgb": rgb}

@@ -88,13 +88,18 @@ def mlp_apply(params: dict, x: jnp.ndarray, config: MLPConfig) -> jnp.ndarray:
 
 @jax.custom_vjp
 def trunc_exp(x: jnp.ndarray) -> jnp.ndarray:
-    """exp with input clamped in the backward pass — the density activation
-    used by nerfacto fields (stabilizes training vs plain exp)."""
-    return jnp.exp(x)
+    """exp with clamped input — the density activation of nerfacto fields.
+
+    Forward clamps at 11 (density ~6e4: opaque at any ray delta that
+    matters) to keep the loss finite: with Fourier features the trunk
+    pre-activation can spike early in training and a bare exp overflows to
+    inf -> NaN (observed at lr 1e-2). Backward uses the wider clamp at 15,
+    matching the usual trunc_exp gradient."""
+    return jnp.exp(jnp.minimum(x, 11.0))
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(x), x
+    return jnp.exp(jnp.minimum(x, 11.0)), x
 
 
 def _trunc_exp_bwd(x, g):

@@ -83,3 +83,30 @@ def test_fourier_nerfacto_learns():
         if first is None:
             first = float(l)
     assert float(l) < first / 3, (first, float(l))
+
+
+def test_fourier_field_stays_finite_at_high_lr():
+    """Regression: bare exp density overflowed to NaN at lr 1e-2 with Fourier
+    features; the clamped trunc_exp must keep the loss finite."""
+    cfg = dataclasses.replace(FOURIER_TINY, near_plane=0.2, far_plane=6.0)
+    params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+    rays = make_rays(256, key=11)
+    batch = {"image": jnp.clip(0.5 + 0.5 * rays.directions, 0, 1)}
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step_fn(p, s, k, i):
+        def loss_fn(p):
+            out = nerfacto.forward(p, cfg, rays, key=k, step=i)
+            return nerfacto.loss(cfg, out, batch)[0]
+
+        l, g = jax.value_and_grad(loss_fn)(p)
+        up, s = opt.update(g, s)
+        return optax.apply_updates(p, up), s, l
+
+    key = jax.random.PRNGKey(4)
+    for i in range(150):
+        key, sub = jax.random.split(key)
+        params, state, l = step_fn(params, state, sub, jnp.asarray(i, jnp.float32))
+    assert np.isfinite(float(l)), float(l)

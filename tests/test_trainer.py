@@ -108,3 +108,40 @@ def test_batch_sharding_across_virtual_mesh():
     np.testing.assert_array_equal(np.asarray(sharded["x"]), batch["x"])
     with pytest.raises(ValueError, match="not divisible"):
         shard_batch(mesh, {"x": np.zeros((5, 2))})
+
+
+def test_multihost_helpers_single_host():
+    from nerf_kbs_tpu.parallel.multihost import (
+        host_shard_info,
+        initialize,
+        local_batch_slice,
+    )
+
+    info = initialize()
+    assert info["process_count"] == 1 and info["process_index"] == 0
+    assert host_shard_info() == (0, 1)
+    assert local_batch_slice(4096) == slice(0, 4096)
+
+
+def test_render_trajectory(tmp_path):
+    from nerf_kbs_tpu.engine.render import interpolate_camera_path, render_trajectory
+
+    c2ws = np.tile(np.eye(4, dtype=np.float32)[:3], (3, 1, 1))
+    c2ws[1, :3, 3] = [1, 0, 0]
+    c2ws[2, :3, 3] = [1, 1, 0]
+    path = interpolate_camera_path(c2ws, frames_per_segment=4)
+    assert path.shape == (9, 3, 4)
+    # midpoint of segment 0 is halfway in translation
+    np.testing.assert_allclose(path[2, :3, 3], [0.5, 0, 0], atol=1e-6)
+    # rotations stay orthonormal
+    R = path[:, :3, :3]
+    np.testing.assert_allclose(np.einsum("nij,nik->njk", R, R),
+                               np.tile(np.eye(3), (9, 1, 1)), atol=1e-5)
+
+    trainer = make_trainer(tmp_path)
+    trainer.train(num_iterations=2)
+    written = render_trajectory(trainer, str(tmp_path / "renders"),
+                                frames_per_segment=1)
+    assert len(written) == 2  # 2 eval cameras -> 1 segment + final
+    assert (tmp_path / "renders" / "rgb_00000.png").exists()
+    assert (tmp_path / "renders" / "depth_00000.png").exists()
