@@ -47,6 +47,10 @@ class StreamConfig:
     num_shards: int = 1
     with_depth: bool = True
     with_time: bool = True
+    # attach per-row flow supervision (forward flow + neighbor w2c/K +
+    # pixel coords; the reference's flow-neighbor metadata,
+    # datamanager_z.py:262-277) when the items carry flow paths
+    with_flow: bool = False
 
 
 class ChunkedStreamDataManager:
@@ -115,6 +119,21 @@ class ChunkedStreamDataManager:
         if self.config.with_time:
             rows["time"] = np.full((len(rr), 1), it.time, np.float32)
             rows["video_id"] = np.full((len(rr), 1), it.video_id, np.int32)
+        if self.config.with_flow and it.forward_flow_path is not None:
+            flow, valid = it.load_forward_flow()
+            nbr_idx = it.forward_neighbor_index
+            if nbr_idx is not None and 0 <= nbr_idx < len(self.train_items):
+                nbr = self.train_items[nbr_idx]
+                from nerf_kbs_tpu.cameras.poses import invert_se3, to_homogeneous
+
+                w2c = invert_se3(to_homogeneous(np.asarray(nbr.c2w)[None]))[0, :3, :4]
+                rows["forward_flow"] = flow[rr, cc].astype(np.float32)
+                rows["flow_valid"] = valid[rr, cc].astype(np.float32)[:, None]
+                rows["fwd_w2c"] = np.tile(w2c[None].astype(np.float32), (len(rr), 1, 1))
+                rows["fwd_K"] = np.tile(
+                    np.asarray(nbr.intrinsics, np.float32)[None], (len(rr), 1)
+                )
+                rows["pixel_xy"] = np.stack([cc + 0.5, rr + 0.5], -1).astype(np.float32)
         rows["mask"] = np.ones((len(rr), 1), np.float32)
         return rows
 
@@ -134,8 +153,12 @@ class ChunkedStreamDataManager:
                 total += rows["ray_indices"].shape[0]
                 if total >= target:
                     break
-        keys = parts[0].keys()
-        chunk = {k: np.concatenate([p[k] for p in parts if k in p], 0) for k in keys}
+        # only keys every frame produced (e.g. the last frame has no forward
+        # flow) — otherwise row counts would misalign across keys
+        keys = set(parts[0].keys())
+        for p in parts[1:]:
+            keys &= set(p.keys())
+        chunk = {k: np.concatenate([p[k] for p in parts], 0) for k in keys}
         n = chunk["ray_indices"].shape[0]
         # per-host shard, then reshuffle (replaces DistributedSampler)
         sel = np.arange(cfg.shard_index, n, cfg.num_shards)

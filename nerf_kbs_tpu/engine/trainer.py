@@ -133,9 +133,11 @@ class Trainer:
     def _build_render_chunk(self) -> Callable:
         model, mcfg = self.model, self.model_config
 
-        def render_chunk(params, cameras, ray_indices):
+        def render_chunk(params, cameras, ray_indices, step):
+            # step matters at eval: frequency-annealed fields must render with
+            # the same window they were trained at
             rays = generate_rays(cameras, ray_indices)
-            out = model.forward(params, mcfg, rays, key=None, step=0, train=False)
+            out = model.forward(params, mcfg, rays, key=None, step=step, train=False)
             keep = {k: v for k, v in out.items()
                     if k in ("rgb", "depth", "expected_depth", "accumulation", "semantics")}
             return keep
@@ -198,9 +200,10 @@ class Trainer:
         pad = (-total) % chunk
         idx = np.concatenate([idx, np.tile(idx[-1:], (pad, 1))], 0) if pad else idx
         outs: dict[str, list] = {}
+        step = jnp.asarray(self.step, jnp.float32)
         for i in range(0, idx.shape[0], chunk):
             part = shard_batch(self.mesh, {"ray_indices": idx[i : i + chunk]})
-            res = self._render_chunk(self.params, cameras, part["ray_indices"])
+            res = self._render_chunk(self.params, cameras, part["ray_indices"], step)
             for k, v in res.items():
                 outs.setdefault(k, []).append(np.asarray(v))
         return {

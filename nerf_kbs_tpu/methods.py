@@ -162,7 +162,15 @@ def nerfacto_tpu_method() -> MethodSpec:
         spec.model,
         field_type="fourier",
         hidden_dim=128,
+        num_layers=3,
         num_images=spec.model.num_images,
+        # frequency scales: random Fourier features memorize beyond the
+        # sampling density — cap max_res well below the hash default and ramp
+        # coarse-to-fine (measured on the synthetic scene: max_res 64+anneal
+        # beats the hash field at equal steps; max_res 2048 collapses eval)
+        base_res=4,
+        max_res=256,
+        fourier_anneal_steps=5000,
     )
     # lr 1e-3 (reference optimizer point) is stable for the fourier field;
     # global-norm clipping guards the early high-frequency phase (lr >= 1e-2

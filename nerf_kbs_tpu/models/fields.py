@@ -20,8 +20,11 @@ import jax.numpy as jnp
 
 from nerf_kbs_tpu.ops.contraction import contract_to_unit_cube, normalize_aabb
 from nerf_kbs_tpu.ops.encoding import (
+    CPEncodingConfig,
     FourierEncodingConfig,
     HashEncodingConfig,
+    cp_encoding_apply,
+    cp_encoding_init,
     fourier_encoding_apply,
     fourier_encoding_init,
     hash_encoding_apply,
@@ -45,6 +48,7 @@ class NerfactoFieldConfig:
     encoding: str = "hash"
     hash: HashEncodingConfig = HashEncodingConfig()
     fourier: FourierEncodingConfig = FourierEncodingConfig()
+    cp: CPEncodingConfig = CPEncodingConfig()
     hidden_dim: int = 64
     num_layers: int = 2
     geo_feat_dim: int = 15
@@ -66,7 +70,9 @@ class NerfactoFieldConfig:
     # derived MLP configs -------------------------------------------------
     @property
     def encoding_dim(self) -> int:
-        return self.hash.output_dim if self.encoding == "hash" else self.fourier.output_dim
+        return {"hash": self.hash, "fourier": self.fourier, "cp": self.cp}[
+            self.encoding
+        ].output_dim
 
     @property
     def base_mlp(self) -> MLPConfig:
@@ -125,14 +131,14 @@ class NerfactoFieldConfig:
 
 def nerfacto_field_init(key: jax.Array, cfg: NerfactoFieldConfig) -> dict:
     ks = jax.random.split(key, 12)
+    if cfg.encoding == "hash":
+        enc_params = {"hash_table": hash_encoding_init(ks[0], cfg.hash)}
+    elif cfg.encoding == "fourier":
+        enc_params = {"fourier_B": fourier_encoding_init(ks[0], cfg.fourier)}
+    else:
+        enc_params = {"cp_tables": cp_encoding_init(ks[0], cfg.cp)}
     params = {
-        (
-            "hash_table" if cfg.encoding == "hash" else "fourier_B"
-        ): (
-            hash_encoding_init(ks[0], cfg.hash)
-            if cfg.encoding == "hash"
-            else fourier_encoding_init(ks[0], cfg.fourier)
-        ),
+        **enc_params,
         "base_mlp": mlp_init(ks[1], cfg.base_mlp),
         "rgb_mlp": mlp_init(ks[2], cfg.rgb_mlp),
     }
@@ -159,12 +165,15 @@ def nerfacto_field_init(key: jax.Array, cfg: NerfactoFieldConfig) -> dict:
     return params
 
 
-def _field_encode(params: dict, cfg, x: jnp.ndarray) -> jnp.ndarray:
+def _field_encode(params: dict, cfg, x: jnp.ndarray, window=None) -> jnp.ndarray:
     """Spatial encoding dispatch: hash grid or Fourier features on normalized
-    positions in [0, 1]^3."""
+    positions in [0, 1]^3. ``window`` (fourier only): coarse-to-fine
+    frequency weights from ops.encoding.fourier_window."""
     if cfg.encoding == "hash":
         return hash_encoding_apply(params["hash_table"], x, cfg.hash)
-    return fourier_encoding_apply(params["fourier_B"], x, cfg.fourier)
+    if cfg.encoding == "cp":
+        return cp_encoding_apply(params["cp_tables"], x, cfg.cp)
+    return fourier_encoding_apply(params["fourier_B"], x, cfg.fourier, window=window)
 
 
 def _density_from_base(h: jnp.ndarray):
@@ -175,7 +184,7 @@ def _density_from_base(h: jnp.ndarray):
 
 
 def nerfacto_density(
-    params: dict, cfg: NerfactoFieldConfig, positions: jnp.ndarray
+    params: dict, cfg: NerfactoFieldConfig, positions: jnp.ndarray, window=None
 ) -> jnp.ndarray:
     """Density-only evaluation (used by jax.grad for analytic normals and by
     callers that don't need color)."""
@@ -184,7 +193,7 @@ def nerfacto_density(
         if cfg.disable_scene_contraction
         else contract_to_unit_cube(positions)
     )
-    enc = _field_encode(params, cfg, x)
+    enc = _field_encode(params, cfg, x, window)
     h = mlp_apply(params["base_mlp"], enc, cfg.base_mlp)
     density, _ = _density_from_base(h)
     return density
@@ -198,6 +207,7 @@ def nerfacto_field_apply(
     camera_indices: jnp.ndarray,
     train: bool = True,
     compute_normals: bool = False,
+    window=None,
 ) -> dict:
     """Evaluate the field.
 
@@ -210,7 +220,7 @@ def nerfacto_field_apply(
         if cfg.disable_scene_contraction
         else contract_to_unit_cube(positions)
     )
-    enc = _field_encode(params, cfg, x)
+    enc = _field_encode(params, cfg, x, window)
     h = mlp_apply(params["base_mlp"], enc, cfg.base_mlp)
     density, geo = _density_from_base(h)
 
@@ -300,6 +310,9 @@ class DensityFieldConfig:
     fourier: FourierEncodingConfig = FourierEncodingConfig(
         num_levels=5, features_per_level=16, base_resolution=16, max_resolution=128
     )
+    cp: CPEncodingConfig = CPEncodingConfig(
+        num_levels=5, features_per_level=8, base_resolution=16, max_resolution=128
+    )
     hidden_dim: int = 16
     num_layers: int = 2
     disable_scene_contraction: bool = False
@@ -307,7 +320,9 @@ class DensityFieldConfig:
 
     @property
     def encoding_dim(self) -> int:
-        return self.hash.output_dim if self.encoding == "hash" else self.fourier.output_dim
+        return {"hash": self.hash, "fourier": self.fourier, "cp": self.cp}[
+            self.encoding
+        ].output_dim
 
     @property
     def mlp(self) -> MLPConfig:
@@ -322,21 +337,23 @@ class DensityFieldConfig:
 
 def density_field_init(key: jax.Array, cfg: DensityFieldConfig) -> dict:
     k1, k2 = jax.random.split(key)
-    enc = (
-        {"hash_table": hash_encoding_init(k1, cfg.hash)}
-        if cfg.encoding == "hash"
-        else {"fourier_B": fourier_encoding_init(k1, cfg.fourier)}
-    )
+    if cfg.encoding == "hash":
+        enc = {"hash_table": hash_encoding_init(k1, cfg.hash)}
+    elif cfg.encoding == "fourier":
+        enc = {"fourier_B": fourier_encoding_init(k1, cfg.fourier)}
+    else:
+        enc = {"cp_tables": cp_encoding_init(k1, cfg.cp)}
     return {**enc, "mlp": mlp_init(k2, cfg.mlp)}
 
 
-def density_field_apply(params: dict, cfg: DensityFieldConfig, positions: jnp.ndarray):
+def density_field_apply(params: dict, cfg: DensityFieldConfig, positions: jnp.ndarray,
+                        window=None):
     x = (
         normalize_aabb(positions, jnp.array([[-1.0] * 3, [1.0] * 3]))
         if cfg.disable_scene_contraction
         else contract_to_unit_cube(positions)
     )
-    enc = _field_encode(params, cfg, x)
+    enc = _field_encode(params, cfg, x, window)
     h = mlp_apply(params["mlp"], enc, cfg.mlp)
     density, _ = _density_from_base(h)
     return density

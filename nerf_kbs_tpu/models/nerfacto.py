@@ -51,10 +51,15 @@ class NerfactoConfig:
     num_images: int = 1
     # 'hash' = reference-parity tcnn-style grid; 'fourier' = MXU-native
     # gather-free field (TPU operating point, see models/fields.py)
-    field_type: str = "hash"
+    field_type: str = "hash"  # hash | fourier | cp
     fourier_num_levels: int = 8
     fourier_features_per_level: int = 32
     proposal_fourier_features_per_level: int = 16
+    cp_features_per_level: int = 16
+    proposal_cp_features_per_level: int = 8
+    # coarse-to-fine frequency schedule (BARF-style): without it, fine random
+    # Fourier features memorize training rays and novel views collapse
+    fourier_anneal_steps: int = 5000
     near_plane: float = 0.001
     far_plane: float = 1000.0
     background_color: str = "last_sample"
@@ -93,6 +98,11 @@ class NerfactoConfig:
     use_semantic: bool = False
     use_mask: bool = False
     semantic_loss_weight: float = 0.001
+    # flow supervision: rendered-depth-induced flow vs stored RAFT flow
+    # (the reference carries this loss commented with flow_loss_mult=0.001,
+    # nerfacto.py:121,531-564; active when the batch provides forward_flow /
+    # fwd_w2c / fwd_K / pixel_xy rows)
+    flow_loss_mult: float = 0.0
     num_semantic_classes: int = 0
     appearance_embedding_dim: int = 32
     compute_dtype: str = "float32"
@@ -105,12 +115,20 @@ class NerfactoConfig:
     def field(self) -> NerfactoFieldConfig:
         from nerf_kbs_tpu.ops.encoding import FourierEncodingConfig
 
+        from nerf_kbs_tpu.ops.encoding import CPEncodingConfig
+
         return NerfactoFieldConfig(
             num_images=self.num_images,
             encoding=self.field_type,
             fourier=FourierEncodingConfig(
                 num_levels=self.fourier_num_levels,
                 features_per_level=self.fourier_features_per_level,
+                base_resolution=self.base_res,
+                max_resolution=self.max_res,
+            ),
+            cp=CPEncodingConfig(
+                num_levels=self.fourier_num_levels,
+                features_per_level=self.cp_features_per_level,
                 base_resolution=self.base_res,
                 max_resolution=self.max_res,
             ),
@@ -137,11 +155,19 @@ class NerfactoConfig:
     def proposal_field(self, i: int) -> DensityFieldConfig:
         from nerf_kbs_tpu.ops.encoding import FourierEncodingConfig
 
+        from nerf_kbs_tpu.ops.encoding import CPEncodingConfig
+
         return DensityFieldConfig(
             encoding=self.field_type,
             fourier=FourierEncodingConfig(
                 num_levels=self.proposal_num_levels,
                 features_per_level=self.proposal_fourier_features_per_level,
+                base_resolution=16,
+                max_resolution=self.proposal_max_res[i],
+            ),
+            cp=CPEncodingConfig(
+                num_levels=self.proposal_num_levels,
+                features_per_level=self.proposal_cp_features_per_level,
                 base_resolution=16,
                 max_resolution=self.proposal_max_res[i],
             ),
@@ -201,9 +227,24 @@ def forward(
     (nerfacto.py:396-453): proposal chain -> field -> renderers."""
     rays = R.near_far_collider(rays, cfg.near_plane, cfg.far_plane)
 
+    if cfg.field_type == "fourier":
+        from nerf_kbs_tpu.ops.encoding import fourier_window
+
+        progress = jnp.clip(
+            jnp.asarray(step, jnp.float32) / cfg.fourier_anneal_steps, 0.0, 1.0
+        )
+        field_window = fourier_window(cfg.field.fourier, progress)
+        prop_windows = [
+            fourier_window(cfg.proposal_field(i).fourier, progress)
+            for i in range(cfg.num_proposal_iterations)
+        ]
+    else:
+        field_window = None
+        prop_windows = [None] * cfg.num_proposal_iterations
+
     density_fns = [
-        (lambda pos, p=params["proposal_networks"][i], c=cfg.proposal_field(i):
-         density_field_apply(p, c, pos))
+        (lambda pos, p=params["proposal_networks"][i], c=cfg.proposal_field(i),
+         w=prop_windows[i]: density_field_apply(p, c, pos, window=w))
         for i in range(cfg.num_proposal_iterations)
     ]
     anneal = (
@@ -235,6 +276,7 @@ def forward(
         rays.camera_indices,
         train=train,
         compute_normals=compute_normals,
+        window=field_window,
     )
     weights = R.render_weights(field_out["density"], samples.deltas)
 
@@ -261,6 +303,7 @@ def forward(
     for i, (ps, pw) in enumerate(history):
         outputs[f"prop_depth_{i}"] = R.render_median_depth(pw, ps)
     outputs["_view_dirs"] = rays.directions
+    outputs["_origins"] = rays.origins
     return outputs
 
 
@@ -300,6 +343,14 @@ def loss(
         if cfg.use_semantic and "semantics_label" in batch:
             losses["semantic_loss"] = cfg.semantic_loss_weight * L.semantic_loss(
                 outputs["semantics"], batch["semantics_label"]
+            )
+        if cfg.flow_loss_mult > 0.0 and "forward_flow" in batch:
+            pred_flow = L.induced_flow(
+                outputs["_origins"], outputs["_view_dirs"], outputs["depth"],
+                batch["pixel_xy"], batch["fwd_w2c"], batch["fwd_K"],
+            )
+            losses["flow_loss"] = cfg.flow_loss_mult * L.flow_loss(
+                pred_flow, batch["forward_flow"], batch.get("flow_valid")
             )
         if cfg.use_depth and "depth_image" in batch:
             depth = outputs["depth"]

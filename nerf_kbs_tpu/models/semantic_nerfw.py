@@ -71,9 +71,24 @@ def forward(
     rays = R.near_far_collider(rays, cfg.near_plane, cfg.far_plane)
     from nerf_kbs_tpu.models.fields import density_field_apply
 
+    if cfg.field_type == "fourier":
+        from nerf_kbs_tpu.ops.encoding import fourier_window
+
+        progress = jnp.clip(
+            jnp.asarray(step, jnp.float32) / cfg.fourier_anneal_steps, 0.0, 1.0
+        )
+        field_window = fourier_window(cfg.field.fourier, progress)
+        prop_windows = [
+            fourier_window(cfg.proposal_field(i).fourier, progress)
+            for i in range(cfg.num_proposal_iterations)
+        ]
+    else:
+        field_window = None
+        prop_windows = [None] * cfg.num_proposal_iterations
+
     density_fns = [
-        (lambda pos, p=params["proposal_networks"][i], c=cfg.proposal_field(i):
-         density_field_apply(p, c, pos))
+        (lambda pos, p=params["proposal_networks"][i], c=cfg.proposal_field(i),
+         w=prop_windows[i]: density_field_apply(p, c, pos, window=w))
         for i in range(cfg.num_proposal_iterations)
     ]
     anneal = (
@@ -93,7 +108,7 @@ def forward(
     )
     field_out = nerfacto_field_apply(
         params["fields"], cfg.field, samples.positions(rays), rays.directions,
-        rays.camera_indices, train=train,
+        rays.camera_indices, train=train, window=field_window,
     )
 
     deltas = samples.deltas

@@ -393,11 +393,107 @@ def fourier_encoding_init(key: jax.Array, config: FourierEncodingConfig) -> jnp.
     return dirs * scales[None, :]
 
 
+def fourier_window(config: FourierEncodingConfig, progress) -> jnp.ndarray:
+    """BARF-style coarse-to-fine frequency window: per-half-feature weights in
+    [0, 1]. progress in [0, 1] ramps levels in coarse -> fine with a cosine
+    ease. Without this, high-frequency random features memorize training rays
+    and novel views collapse (measured: eval PSNR ~8 vs train ~23)."""
+    L = config.num_levels
+    half = config.features_per_level // 2
+    lvl = jnp.repeat(jnp.arange(L, dtype=jnp.float32), half)
+    x = jnp.clip(jnp.asarray(progress, jnp.float32) * L - lvl, 0.0, 1.0)
+    return 0.5 * (1.0 - jnp.cos(jnp.pi * x))
+
+
 def fourier_encoding_apply(
-    B: jnp.ndarray, positions: jnp.ndarray, config: FourierEncodingConfig
+    B: jnp.ndarray,
+    positions: jnp.ndarray,
+    config: FourierEncodingConfig,
+    window: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """positions in [0, 1]^3 -> (..., output_dim). B is kept frozen (stop
-    gradient): moving frequencies destabilizes training."""
+    gradient): moving frequencies destabilizes training. ``window`` is an
+    optional per-half-feature weight vector from fourier_window."""
     B = jax.lax.stop_gradient(B)
     proj = (2.0 * jnp.pi) * jnp.matmul(positions, B)
-    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+    sin, cos = jnp.sin(proj), jnp.cos(proj)
+    if window is not None:
+        sin = sin * window
+        cos = cos * window
+    return jnp.concatenate([sin, cos], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# CP-decomposed line-grid encoding — MXU-native with grid smoothness
+# ---------------------------------------------------------------------------
+#
+# features(x) = prod_axes( hat(x_axis)^T Line_axis ) per level: TensoRF-CP
+# style rank decomposition where each axis has a 1-D feature table and the
+# linear ("hat function") interpolation is expressed as a dense
+# (B, Res) @ (Res, F) matmul. This keeps the trilinear-style C0 spatial
+# smoothing the random Fourier features lack (novel-view generalization) while
+# staying 100% MXU/VPU — no gathers. Cost per point-level: 3 x Res x F MACs.
+
+
+@dataclasses.dataclass(frozen=True)
+class CPEncodingConfig:
+    num_levels: int = 8
+    features_per_level: int = 16
+    base_resolution: int = 16
+    max_resolution: int = 512
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    @property
+    def resolutions(self):
+        if self.num_levels == 1:
+            return (self.base_resolution,)
+        g = float(
+            np.exp(
+                (np.log(self.max_resolution) - np.log(self.base_resolution))
+                / (self.num_levels - 1)
+            )
+        )
+        return tuple(int(np.floor(self.base_resolution * g**l)) for l in range(self.num_levels))
+
+
+def cp_encoding_init(key: jax.Array, config: CPEncodingConfig) -> list:
+    """Per level: (3, res+1, F) line tables, init near 1 so the per-axis
+    product starts informative (0.5 +- noise keeps products stable)."""
+    tables = []
+    keys = jax.random.split(key, config.num_levels)
+    for k, res in zip(keys, config.resolutions):
+        tables.append(
+            1.0 + 0.1 * jax.random.normal(k, (3, res + 1, config.features_per_level))
+        )
+    return tables
+
+
+def _hat_weights(x: jnp.ndarray, res: int) -> jnp.ndarray:
+    """(B,) coords in [0, 1] -> (B, res+1) linear interpolation weights
+    (two adjacent nonzeros per row), built with iota — no gathers."""
+    g = x[:, None] * res  # (B, 1)
+    idx = jnp.arange(res + 1, dtype=jnp.float32)[None, :]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(g - idx))
+
+
+def cp_encoding_apply(
+    tables: list, positions: jnp.ndarray, config: CPEncodingConfig
+) -> jnp.ndarray:
+    """positions in [0, 1]^3 -> (..., num_levels * features_per_level)."""
+    batch_shape = positions.shape[:-1]
+    p = jnp.clip(positions.reshape(-1, 3).astype(jnp.float32), 0.0, 1.0)
+    outs = []
+    for table, res in zip(tables, config.resolutions):
+        feat = None
+        for d in range(3):
+            w = _hat_weights(p[:, d], res)  # (B, res+1)
+            v = jax.lax.dot_general(
+                w, table[d], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B, F)
+            feat = v if feat is None else feat * v
+        outs.append(feat)
+    return jnp.concatenate(outs, axis=-1).reshape(*batch_shape, config.output_dim)

@@ -194,3 +194,47 @@ def semantic_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     (reference semantic CE, semantic_nerfw.py:269-279, weight 0.05)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# flow supervision (dynamic scenes)
+# ---------------------------------------------------------------------------
+
+
+def induced_flow(
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    depth: jnp.ndarray,
+    pixel_xy: jnp.ndarray,
+    neighbor_w2c: jnp.ndarray,
+    neighbor_K: jnp.ndarray,
+) -> jnp.ndarray:
+    """Optical flow induced by rendered depth + a neighbor camera: unproject
+    each ray to its termination point, reproject into the neighbor view, and
+    subtract the source pixel (the capability of the reference's commented
+    flow supervision, nerfacto.py:531-564, via get_pred_flow).
+
+    origins/directions (B, 3) world; depth (B, 1) along-ray; pixel_xy (B, 2)
+    source pixel (u, v); neighbor_w2c (B, 3, 4) world->neighbor-camera in
+    OpenGL convention; neighbor_K (B, 4) = (fx, fy, cx, cy). Returns (B, 2).
+    """
+    pts = origins + directions * depth  # (B, 3)
+    cam = (
+        jnp.einsum("bij,bj->bi", neighbor_w2c[..., :3], pts) + neighbor_w2c[..., 3]
+    )  # (B, 3) GL camera: looking down -z
+    z = jnp.maximum(-cam[:, 2], 1e-6)
+    fx, fy, cx, cy = (neighbor_K[:, i] for i in range(4))
+    u = fx * (cam[:, 0] / z) + cx
+    v = fy * (-cam[:, 1] / z) + cy
+    return jnp.stack([u, v], axis=-1) - pixel_xy
+
+
+def flow_loss(
+    pred_flow: jnp.ndarray, gt_flow: jnp.ndarray, valid: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Masked L1 between induced and observed (RAFT) flow."""
+    err = jnp.sum(jnp.abs(pred_flow - gt_flow), axis=-1)
+    if valid is None:
+        return jnp.mean(err)
+    v = valid.astype(err.dtype).reshape(err.shape)
+    return jnp.sum(err * v) / jnp.maximum(jnp.sum(v), 1.0)

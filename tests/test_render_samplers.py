@@ -228,3 +228,34 @@ def test_psnr_ssim(rng):
     garbage = img.at[:16].set(0.0)
     mask = jnp.zeros((32, 48)).at[16:].set(1.0)
     assert float(masked_psnr(garbage, img, mask)) > 100
+
+
+def test_induced_flow_identity_and_translation():
+    # neighbor == source camera -> zero flow
+    B = 8
+    fx = fy = 50.0
+    cx, cy = 16.0, 12.0
+    px = np.random.default_rng(0).uniform(0, 32, (B, 2)).astype(np.float32)
+    x = (px[:, 0] - cx) / fx
+    y = (px[:, 1] - cy) / fy
+    dirs = np.stack([x, -y, -np.ones(B)], -1).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.zeros((B, 3))
+    depth = jnp.full((B, 1), 4.0) * jnp.linalg.norm(jnp.asarray(dirs), axis=-1, keepdims=True) / jnp.abs(jnp.asarray(dirs[:, 2:3]))
+    w2c = jnp.tile(jnp.eye(4)[:3][None], (B, 1, 1))
+    K = jnp.tile(jnp.array([[fx, fy, cx, cy]]), (B, 1))
+    f = L.induced_flow(origins, jnp.asarray(dirs), depth, jnp.asarray(px), w2c, K)
+    np.testing.assert_allclose(np.asarray(f), 0.0, atol=1e-3)
+    # camera translated +x by t: flow u = -fx * t / z
+    w2c_t = w2c.at[:, 0, 3].set(-0.5)  # world->cam: subtract camera position
+    f2 = L.induced_flow(origins, jnp.asarray(dirs), depth, jnp.asarray(px), w2c_t, K)
+    z = 4.0
+    np.testing.assert_allclose(np.asarray(f2[:, 0]), -50.0 * 0.5 / z, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(f2[:, 1]), 0.0, atol=1e-3)
+    # masked loss
+    gt = f2
+    assert float(L.flow_loss(f2, gt)) < 1e-6
+    bad = f2 + 1.0
+    assert float(L.flow_loss(bad, gt)) == pytest.approx(2.0, rel=1e-4)
+    v = jnp.zeros((B,)).at[0].set(1.0)
+    assert float(L.flow_loss(bad, gt, v)) == pytest.approx(2.0, rel=1e-4)

@@ -96,3 +96,59 @@ def test_stream_pixel_values_match_source(tmp_path):
         expect = items[img_i].load_image()[r, c] / 255.0
         np.testing.assert_allclose(b["image"][k], expect, atol=1e-6)
     dm.close()
+
+
+def test_stream_flow_metadata_rows(tmp_path):
+    items = make_items(tmp_path, n=4, with_mask=False)
+    rng = np.random.default_rng(5)
+    # give every frame a forward flow + neighbor (last frame points to itself)
+    for i, it in enumerate(items):
+        fp = tmp_path / f"flow_{i}.npy"
+        np.save(fp, rng.normal(size=(8, 10, 2)).astype(np.float32))
+        it.forward_flow_path = str(fp)
+        it.forward_neighbor_index = min(i + 1, 3)
+    dm = ChunkedStreamDataManager(
+        items, items[:1],
+        StreamConfig(items_per_chunk=1000, train_num_rays_per_batch=32,
+                     seed=6, with_flow=True),
+    )
+    b = dm.next_train(0)
+    assert b["forward_flow"].shape == (32, 2)
+    assert b["fwd_w2c"].shape == (32, 3, 4)
+    assert b["fwd_K"].shape == (32, 4)
+    assert b["pixel_xy"].shape == (32, 2)
+    # pixel_xy matches ray_indices (+0.5 centers)
+    np.testing.assert_allclose(b["pixel_xy"][:, 0], b["ray_indices"][:, 2] + 0.5)
+    np.testing.assert_allclose(b["pixel_xy"][:, 1], b["ray_indices"][:, 1] + 0.5)
+    # flow values match the stored maps
+    for k in range(8):
+        img_i, r, c = b["ray_indices"][k]
+        expect = np.load(tmp_path / f"flow_{img_i}.npy")[r, c]
+        np.testing.assert_allclose(b["forward_flow"][k], expect, atol=1e-6)
+    dm.close()
+
+
+def test_nerfacto_flow_loss_active(tmp_path):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.models import nerfacto
+    from tests.test_models import TINY, make_rays
+
+    cfg = dataclasses.replace(TINY, flow_loss_mult=0.001)
+    params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+    rays = make_rays(8)
+    out = nerfacto.forward(params, cfg, rays, key=jax.random.PRNGKey(1))
+    batch = {
+        "image": jnp.full((8, 3), 0.5),
+        "forward_flow": jnp.zeros((8, 2)),
+        "flow_valid": jnp.ones((8, 1)),
+        "fwd_w2c": jnp.tile(jnp.eye(4)[:3][None], (8, 1, 1)),
+        "fwd_K": jnp.tile(jnp.array([[30.0, 30.0, 16.0, 12.0]]), (8, 1)),
+        "pixel_xy": jnp.ones((8, 2)) * 8.0,
+    }
+    total, metrics = nerfacto.loss(cfg, out, batch)
+    assert "flow_loss" in metrics
+    assert np.isfinite(float(total))
