@@ -47,6 +47,11 @@ class StreamConfig:
     num_shards: int = 1
     with_depth: bool = True
     with_time: bool = True
+    # emit per-row sky-mask / feature supervision when the items carry the
+    # corresponding paths (the reference pixel rows carry SKY / FEATURES,
+    # dataset_z.py:193-286)
+    with_sky: bool = False
+    with_features: bool = False
     # attach per-row flow supervision (forward flow + neighbor w2c/K +
     # pixel coords; the reference's flow-neighbor metadata,
     # datamanager_z.py:262-277) when the items carry flow paths
@@ -71,6 +76,12 @@ class ChunkedStreamDataManager:
         # deliberately single-worker: chunk builds are serialized (see module
         # docstring); asset loads inside a build still fan out
         self._chunk_executor = ThreadPoolExecutor(max_workers=1)
+        # persistent frame-sweep cursor: sequential chunks resume where the
+        # previous chunk stopped and wrap around, so every frame is cycled
+        # into some chunk (the reference's loaded_fields/loaded_field_offset
+        # cycling, dataset_z.py _load_chunk_inner); only mutated on the
+        # single-worker chunk executor
+        self._sweep_pos = 0
         self._next_chunk_future = self._chunk_executor.submit(self._build_chunk)
         self._chunk: Optional[dict] = None
         self._cursor = 0
@@ -134,6 +145,16 @@ class ChunkedStreamDataManager:
                     np.asarray(nbr.intrinsics, np.float32)[None], (len(rr), 1)
                 )
                 rows["pixel_xy"] = np.stack([cc + 0.5, rr + 0.5], -1).astype(np.float32)
+        if self.config.with_sky and it.sky_mask_path is not None:
+            sky = it.load_sky_mask()
+            rows["sky"] = sky[rr, cc][:, None].astype(np.float32)
+        if self.config.with_features and it.feature_path is not None:
+            feats = it.load_features()  # possibly stored at reduced resolution
+            # sub-pixel index math for reduced-res feature maps (reference
+            # dataset_z.py:331-342)
+            fr = (rr * feats.shape[0]) // h
+            fc = (cc * feats.shape[1]) // w
+            rows["features"] = feats[fr, fc].astype(np.float32)
         rows["mask"] = np.ones((len(rr), 1), np.float32)
         return rows
 
@@ -141,18 +162,46 @@ class ChunkedStreamDataManager:
         cfg = self.config
         n_items = len(self.train_items)
         target = cfg.items_per_chunk
-        if cfg.load_random_subset:
-            order = self._rng.permutation(n_items)
-        else:
-            order = np.arange(n_items)
         parts: list[dict] = []
         total = 0
-        with ThreadPoolExecutor(cfg.num_asset_workers) as ex:
-            for rows in ex.map(self._load_image_rows, order):
-                parts.append(rows)
-                total += rows["ray_indices"].shape[0]
-                if total >= target:
-                    break
+        if cfg.load_random_subset:
+            # uniform (image, pixel) draws (reference _load_random_subset,
+            # dataset_z.py:180-191): split the pixel budget multinomially over
+            # frames, then take a uniform masked-pixel subset of each frame
+            counts = self._rng.multinomial(target, np.full(n_items, 1.0 / n_items))
+            chosen = np.nonzero(counts)[0]
+            with ThreadPoolExecutor(cfg.num_asset_workers) as ex:
+                for i, rows in zip(chosen, ex.map(self._load_image_rows, chosen)):
+                    n = rows["ray_indices"].shape[0]
+                    k = min(int(counts[i]), n)
+                    if k == 0:
+                        continue
+                    sel = self._rng.choice(n, size=k, replace=False)
+                    parts.append({key: v[sel] for key, v in rows.items()})
+                    total += k
+        else:
+            # sequential sweep resuming at the persistent cursor; wraps so all
+            # frames are eventually loaded even when one chunk holds only a
+            # prefix of the dataset
+            frames_loaded = 0
+            with ThreadPoolExecutor(cfg.num_asset_workers) as ex:
+                # at most one full pass per chunk: a chunk bigger than the
+                # dataset is just the dataset
+                while total < target and frames_loaded < n_items:
+                    wave = np.arange(
+                        self._sweep_pos,
+                        min(self._sweep_pos + cfg.num_asset_workers, n_items),
+                    )
+                    self._sweep_pos = (
+                        0 if self._sweep_pos + len(wave) >= n_items
+                        else self._sweep_pos + len(wave)
+                    )
+                    frames_loaded += len(wave)
+                    for rows in ex.map(self._load_image_rows, wave):
+                        parts.append(rows)
+                        total += rows["ray_indices"].shape[0]
+        if not parts or total == 0:
+            raise ValueError("chunk build produced no supervised pixels")
         # only keys every frame produced (e.g. the last frame has no forward
         # flow) — otherwise row counts would misalign across keys
         keys = set(parts[0].keys())

@@ -103,6 +103,9 @@ class NerfactoConfig:
     # nerfacto.py:121,531-564; active when the batch provides forward_flow /
     # fwd_w2c / fwd_K / pixel_xy rows)
     flow_loss_mult: float = 0.0
+    # sky supervision: push accumulation -> 0 on sky pixels when the batch
+    # carries 'sky' rows (StreamConfig.with_sky)
+    sky_loss_mult: float = 0.0
     num_semantic_classes: int = 0
     appearance_embedding_dim: int = 32
     compute_dtype: str = "float32"
@@ -318,8 +321,11 @@ def loss(
     gt = batch["image"]
     pred = outputs["rgb"]
     if cfg.use_mask and "mask" in batch:
+        # per-element masked mean, consistent with the unmasked mse_loss
+        # branch (so use_mask does not rescale the rgb term vs the
+        # interlevel/distortion multipliers tuned against it)
         m = batch["mask"].astype(pred.dtype)
-        rgb_loss = jnp.sum(m * (pred - gt) ** 2) / jnp.maximum(jnp.sum(m) * 3.0, 1.0) * 3.0
+        rgb_loss = jnp.sum(m * (pred - gt) ** 2) / jnp.maximum(jnp.sum(m) * 3.0, 1.0)
     else:
         rgb_loss = L.mse_loss(pred, gt)
 
@@ -359,8 +365,21 @@ def loss(
             if cfg.is_euclidean_depth:
                 dl = L.euclidean_depth_loss(depth, gt_depth, mask)
             else:
+                # z-depth -> along-ray depth (reference nerfacto.py:521):
+                # rendered depth is along the (unnormalized) ray, so gt z-depth
+                # must be scaled by |direction| before the scale-shift-
+                # invariant comparison
+                gt_depth = gt_depth * outputs["directions_norm"]
                 dl = L.monodepth_loss(depth, gt_depth, mask)
             losses["depth_loss"] = cfg.mono_depth_loss_mult * dl
+        if cfg.sky_loss_mult > 0.0 and "sky" in batch:
+            # sky pixels should have zero accumulated density (the SUDS-style
+            # sky supervision the stream rows carry)
+            sky = batch["sky"].astype(pred.dtype)
+            acc = outputs["accumulation"]
+            losses["sky_loss"] = cfg.sky_loss_mult * (
+                jnp.sum(sky * acc**2) / jnp.maximum(jnp.sum(sky), 1.0)
+            )
 
     total = sum(losses.values())
     metrics = {

@@ -160,8 +160,11 @@ def forward(
     density_c, rgb_c = _field_eval(params["fields"]["coarse"], cfg, pos_c, rays.directions)
     weights_c = R.render_weights(density_c, coarse_samples.deltas)
 
+    # include_original: the fine field sees the merged coarse + importance
+    # samples (nerfstudio vanilla-NeRF PDFSampler include_original=True)
     fine_samples = pdf_sampler(
-        rays, coarse_samples, weights_c, cfg.num_importance_samples, spacing="uniform", key=k2
+        rays, coarse_samples, weights_c, cfg.num_importance_samples, spacing="uniform",
+        key=k2, include_original=True,
     )
     pos_f = _maybe_distort(params, cfg, fine_samples.positions(rays), rays.times)
     density_f, rgb_f = _field_eval(params["fields"]["fine"], cfg, pos_f, rays.directions)

@@ -145,12 +145,20 @@ def pdf_sampler(
     key: Optional[jax.Array] = None,
     single_jitter: bool = True,
     histogram_padding: float = 0.01,
+    include_original: bool = False,
 ) -> RaySamples:
     """Inverse-CDF resampling of ``num_samples`` new intervals from per-bin
     ``weights`` (R, S_old), in the spacing domain (deterministic spaced
-    samples when key is None — eval path)."""
+    samples when key is None — eval path).
+
+    ``include_original=True`` merges the existing bin edges into the resampled
+    ones (sorted union), so downstream fields see coarse + fine samples
+    (nerfstudio PDFSampler include_original; used by vanilla-NeRF).
+    """
     R, S_old = weights.shape
-    weights = weights + histogram_padding / S_old
+    # per-bin padding (nerfstudio PDFSampler adds histogram_padding to each
+    # bin, not 0.01 spread across the row)
+    weights = weights + histogram_padding
     wsum = jnp.sum(weights, axis=-1, keepdims=True)
     pdf = weights / wsum
     cdf = jnp.concatenate([jnp.zeros((R, 1)), jnp.cumsum(pdf, axis=-1)], axis=-1)
@@ -192,6 +200,8 @@ def pdf_sampler(
     # monotone by construction up to float rounding; cummax guards the
     # residual wiggle far cheaper than a sort
     new_edges = jax.lax.cummax(new_edges, axis=1)
+    if include_original:
+        new_edges = jnp.sort(jnp.concatenate([edges, new_edges], axis=-1), axis=-1)
 
     s_starts, s_ends = new_edges[..., :-1], new_edges[..., 1:]
     nears = rays.nears if rays.nears is not None else jnp.zeros((R, 1))

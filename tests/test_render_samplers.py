@@ -259,3 +259,25 @@ def test_induced_flow_identity_and_translation():
     assert float(L.flow_loss(bad, gt)) == pytest.approx(2.0, rel=1e-4)
     v = jnp.zeros((B,)).at[0].set(1.0)
     assert float(L.flow_loss(bad, gt, v)) == pytest.approx(2.0, rel=1e-4)
+
+
+def test_pdf_sampler_include_original_merges_edges():
+    # include_original merges the existing bin edges into the resampled set
+    # (nerfstudio PDFSampler include_original=True, used by vanilla-NeRF)
+    rays = make_rays(4)
+    coarse = S.uniform_sampler(rays, 16, spacing="uniform")
+    w = jnp.ones((4, 16))
+    fine = S.pdf_sampler(rays, coarse, w, 8, spacing="uniform", include_original=True)
+    # (16+1) old edges + (8+1) new edges -> 26 edges -> 25 intervals
+    assert fine.spacing_starts.shape == (4, 25)
+    edges = np.asarray(
+        jnp.concatenate([fine.spacing_starts, fine.spacing_ends[..., -1:]], -1)
+    )
+    assert (np.diff(edges, axis=-1) >= -1e-6).all()  # sorted
+    old_edges = np.asarray(
+        jnp.concatenate([coarse.spacing_starts, coarse.spacing_ends[..., -1:]], -1)
+    )
+    # every original edge present in the merged set
+    for r in range(4):
+        for e in old_edges[r]:
+            assert np.min(np.abs(edges[r] - e)) < 1e-6

@@ -152,3 +152,86 @@ def test_nerfacto_flow_loss_active(tmp_path):
     total, metrics = nerfacto.loss(cfg, out, batch)
     assert "flow_loss" in metrics
     assert np.isfinite(float(total))
+
+
+def test_stream_sweep_cursor_covers_all_frames(tmp_path):
+    # chunks smaller than the dataset must CYCLE through all frames across
+    # successive chunks (reference loaded_field_offset cycling) instead of
+    # restarting at frame 0 every chunk
+    items = make_items(tmp_path, n=6, with_mask=False)  # 6 frames x 80 px
+    dm = ChunkedStreamDataManager(
+        items, items[:1],
+        StreamConfig(items_per_chunk=160, train_num_rays_per_batch=80, seed=7,
+                     num_asset_workers=2),
+    )
+    seen_frames = set()
+    for step in range(24):  # enough batches to consume several chunks
+        b = dm.next_train(step)
+        seen_frames.update(np.unique(b["ray_indices"][:, 0]).tolist())
+    assert seen_frames == set(range(6))
+    dm.close()
+
+
+def test_stream_random_subset_uniform_over_frames(tmp_path):
+    # load_random_subset draws uniform (image, pixel) pairs (reference
+    # dataset_z.py:180-191), not whole-frame permutations
+    items = make_items(tmp_path, n=8, with_mask=False)  # 8 frames x 80 px
+    dm = ChunkedStreamDataManager(
+        items, items[:1],
+        StreamConfig(items_per_chunk=320, train_num_rays_per_batch=64, seed=8,
+                     load_random_subset=True),
+    )
+    chunk = dm._next_chunk_future.result()
+    frames, counts = np.unique(chunk["ray_indices"][:, 0], return_counts=True)
+    assert set(frames.tolist()) == set(range(8))  # every frame contributes
+    # multinomial(320, uniform over 8) -> mean 40/frame; bound the spread
+    assert counts.min() > 15 and counts.max() < 70
+    dm.close()
+
+
+def test_stream_sky_and_feature_rows(tmp_path):
+    from PIL import Image
+
+    items = make_items(tmp_path, n=2, with_mask=False)
+    rng = np.random.default_rng(9)
+    for i, it in enumerate(items):
+        sky = np.zeros((8, 10), np.uint8)
+        sky[:3] = 255  # top rows are sky
+        sp = tmp_path / f"sky_{i}.png"
+        Image.fromarray(sky).save(sp)
+        it.sky_mask_path = str(sp)
+        fp = tmp_path / f"feat_{i}.npy"
+        np.save(fp, rng.normal(size=(4, 5, 6)).astype(np.float32))  # half-res
+        it.feature_path = str(fp)
+    dm = ChunkedStreamDataManager(
+        items, items[:1],
+        StreamConfig(items_per_chunk=1000, train_num_rays_per_batch=32, seed=10,
+                     with_sky=True, with_features=True),
+    )
+    b = dm.next_train(0)
+    assert b["sky"].shape == (32, 1)
+    assert b["features"].shape == (32, 6)
+    for k in range(8):
+        img_i, r, c = b["ray_indices"][k]
+        assert b["sky"][k, 0] == (1.0 if r < 3 else 0.0)
+        expect = np.load(tmp_path / f"feat_{img_i}.npy")[r * 4 // 8, c * 5 // 10]
+        np.testing.assert_allclose(b["features"][k], expect, atol=1e-6)
+    dm.close()
+
+
+def test_nerfacto_sky_loss_active():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.models import nerfacto
+    from tests.test_models import TINY, make_rays
+
+    cfg = dataclasses.replace(TINY, sky_loss_mult=0.01)
+    params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+    rays = make_rays(8)
+    out = nerfacto.forward(params, cfg, rays, key=jax.random.PRNGKey(1))
+    batch = {"image": jnp.full((8, 3), 0.5), "sky": jnp.ones((8, 1))}
+    total, metrics = nerfacto.loss(cfg, out, batch)
+    assert "sky_loss" in metrics and np.isfinite(float(total))
