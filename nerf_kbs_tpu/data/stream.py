@@ -227,6 +227,55 @@ class ChunkedStreamDataManager:
         return {k: v[s] for k, v in self._chunk.items()}
 
     # ----------------------------------------------------------------- eval
+    def all_indices_eval_cameras(
+        self,
+        generate_ring_view: bool = False,
+        video_ids: Optional[set] = None,
+        start_frame: Optional[int] = None,
+        end_frame: Optional[int] = None,
+        focal_mult: Optional[float] = None,
+        pos_shift: Optional[np.ndarray] = None,
+    ):
+        """Eval-camera surface of the reference's all_indices_eval_dataloader
+        (datamanager_z.py:138-207): video-id filter, per-video frame-range
+        filter (image_chunk=7 camera groups for ring views), rank-strided
+        image assignment across hosts, and focal_mult / pos_shift camera
+        overrides. Returns (eval item positions, Cameras)."""
+        import jax
+
+        items = list(self.eval_items)
+        chunk = 7 if generate_ring_view else 1
+        positions = [
+            i for i, it in enumerate(items)
+            if video_ids is None or it.video_id in video_ids
+        ]
+        if start_frame is not None or end_frame is not None:
+            filtered, cur_base, cur_vid = [], None, None
+            for j, pos in enumerate(positions):
+                it = items[pos]
+                if cur_vid != it.video_id:
+                    cur_vid, cur_base = it.video_id, j
+                vidx = j - cur_base
+                if (start_frame is None or start_frame * chunk <= vidx) and (
+                    end_frame is None or end_frame * chunk > vidx
+                ):
+                    filtered.append(pos)
+            positions = filtered
+        rank, world = jax.process_index(), jax.process_count()
+        strided = []
+        for i in range(rank * chunk, len(positions) - chunk + 1, chunk * world):
+            strided.extend(positions[i : i + chunk])
+
+        cams = self._cameras_of(self.eval_items)
+        if focal_mult is not None:
+            cams = cams.replace(fx=cams.fx * focal_mult, fy=cams.fy * focal_mult)
+        if pos_shift is not None:
+            scale = float(self.eval_items[0].pose_scale_factor) or 1.0
+            c2w = np.asarray(cams.c2w).copy()
+            c2w[..., 3] += np.asarray(pos_shift, np.float32) / scale
+            cams = cams.replace(c2w=c2w)
+        return strided, cams
+
     def num_eval_images(self) -> int:
         return len(self.eval_items)
 

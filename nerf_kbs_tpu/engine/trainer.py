@@ -61,6 +61,10 @@ class TrainerConfig:
     log_every: int = 10
     load_dir: Optional[str] = None
     save_only_latest: bool = True
+    # eval-metric parity (reference nerfacto.py:596-602): LPIPS is part of the
+    # reference eval dict — when True, a missing local VGG checkpoint is a
+    # hard error instead of a silently absent metric
+    require_lpips: bool = False
 
 
 class Trainer:
@@ -139,7 +143,8 @@ class Trainer:
             rays = generate_rays(cameras, ray_indices)
             out = model.forward(params, mcfg, rays, key=None, step=step, train=False)
             keep = {k: v for k, v in out.items()
-                    if k in ("rgb", "depth", "expected_depth", "accumulation", "semantics")}
+                    if k in ("rgb", "depth", "expected_depth", "accumulation",
+                             "semantics", "directions_norm")}
             return keep
 
         return jax.jit(render_chunk)
@@ -211,6 +216,10 @@ class Trainer:
         }
 
     def eval_image(self, idx: int, write_images: bool = True) -> dict:
+        """Eval metric dict — a superset of the reference's
+        (nerfacto.py:596-636: PSNR/SSIM/LPIPS + scale-shift-aligned depth MSE
+        when depth supervision is on; semantic_nerfw.py:353-371 adds the
+        semantic comparison — here a pixel accuracy)."""
         outputs = self.render_camera(idx)
         gt = self.dm.eval_image(idx)
         pred = jnp.asarray(outputs["rgb"])
@@ -220,13 +229,51 @@ class Trainer:
             "ssim": float(ssim_fn(pred, gt_img)),
             "image_idx": idx,
         }
+        if "mask" in gt:
+            from nerf_kbs_tpu.ops.metrics import masked_psnr
+
+            metrics["masked_psnr"] = float(
+                masked_psnr(pred, gt_img, jnp.asarray(gt["mask"])[..., 0] > 0)
+            )
         if self._lpips is None and not self._lpips_checked:
             from nerf_kbs_tpu.utils.lpips import load_lpips
 
             self._lpips = load_lpips()
             self._lpips_checked = True
+            if self._lpips is None:
+                msg = (
+                    "LPIPS checkpoints not found (set NKT_LPIPS_DIR or place "
+                    "vgg16_features.pth + lpips_vgg.pth under "
+                    "~/.cache/nkt/lpips) — the 'lpips' eval metric will be "
+                    "omitted"
+                )
+                if self.config.require_lpips:
+                    raise RuntimeError(msg)
+                print(f"WARNING: {msg}", flush=True)
         if self._lpips is not None:
             metrics["lpips"] = float(self._lpips(pred, gt_img))
+        if "depth_image" in gt and "depth" in outputs:
+            from nerf_kbs_tpu.ops.losses import normalized_depth_scale_and_shift
+
+            gt_depth = np.asarray(gt["depth_image"]).reshape(-1)
+            pd = np.asarray(outputs["depth"]).reshape(-1)
+            if not getattr(self.model_config, "is_euclidean_depth", True) and (
+                "directions_norm" in outputs
+            ):
+                gt_depth = gt_depth * np.asarray(outputs["directions_norm"]).reshape(-1)
+            dmask = (gt_depth > 0).astype(np.float32)
+            scale, shift = normalized_depth_scale_and_shift(
+                jnp.asarray(pd[None]), jnp.asarray(gt_depth[None]), jnp.asarray(dmask[None])
+            )
+            aligned = float(scale[0]) * pd + float(shift[0])
+            denom = max(dmask.sum(), 1.0)
+            metrics["depth_mse"] = float(
+                (dmask * (aligned - gt_depth) ** 2).sum() / denom
+            )
+        if "semantics" in outputs and "semantics_label" in gt:
+            pred_lbl = np.argmax(np.asarray(outputs["semantics"]), axis=-1)
+            gt_lbl = np.asarray(gt["semantics_label"]).reshape(pred_lbl.shape)
+            metrics["semantic_accuracy"] = float(np.mean(pred_lbl == gt_lbl))
         if write_images:
             self._write_eval_images(idx, outputs, gt)
         return metrics
@@ -257,14 +304,24 @@ class Trainer:
             )
 
     def eval_all_images(self) -> dict:
-        ms = [self.eval_image(i, write_images=False) for i in range(self.dm.num_eval_images())]
-        out = {
-            "psnr": float(np.mean([m["psnr"] for m in ms])),
-            "ssim": float(np.mean([m["ssim"] for m in ms])),
-            "num_images": len(ms),
-        }
-        if ms and "lpips" in ms[0]:
-            out["lpips"] = float(np.mean([m["lpips"] for m in ms]))
+        """All-images eval with rank-strided image assignment across hosts
+        (reference per-rank striding, datamanager_z.py:163) and cross-host
+        metric averaging."""
+        n_host = jax.process_count()
+        rank = jax.process_index()
+        my_idx = range(rank, self.dm.num_eval_images(), n_host)
+        ms = [self.eval_image(i, write_images=False) for i in my_idx]
+        keys = [k for k in ("psnr", "ssim", "lpips", "depth_mse",
+                            "semantic_accuracy", "masked_psnr")
+                if ms and k in ms[0]]
+        sums = np.array([sum(m[k] for m in ms) for k in keys], np.float64)
+        count = np.array([len(ms)], np.float64)
+        if n_host > 1:
+            from nerf_kbs_tpu.parallel.multihost import all_sum_host_values
+
+            sums, count = all_sum_host_values(sums, count)
+        out = {k: float(s / max(count[0], 1.0)) for k, s in zip(keys, sums)}
+        out["num_images"] = int(count[0])
         return out
 
     # ------------------------------------------------------------ checkpoint

@@ -32,7 +32,7 @@ from nerf_kbs_tpu.ops.encoding import (
     positional_encoding,
     sh_encoding,
 )
-from nerf_kbs_tpu.ops.mlp import MLPConfig, mlp_apply, mlp_init, trunc_exp
+from nerf_kbs_tpu.ops.mlp import MLPConfig, mlp_apply, mlp_apply_t, mlp_init, trunc_exp
 
 
 @dataclasses.dataclass(frozen=True)
@@ -357,3 +357,125 @@ def density_field_apply(params: dict, cfg: DensityFieldConfig, positions: jnp.nd
     h = mlp_apply(params["mlp"], enc, cfg.mlp)
     density, _ = _density_from_base(h)
     return density
+
+
+# ---------------------------------------------------------------------------
+# Fused TPU path (coordinate-major layout + Pallas kernel)
+# ---------------------------------------------------------------------------
+#
+# The XLA field path materializes every (N, F) intermediate in HBM and pads
+# narrow minor dims to 128 lanes; at 64k rays that makes the step bandwidth-
+# bound (~2% MXU utilization, see ops/fused_field.py). The fused path keeps
+# positions coordinate-major (3, R, S), runs encode+MLP in one Pallas kernel,
+# and returns sample features feature-major. It is numerically the same field
+# (ops/fused_field.fourier_mlp_reference is tested against both).
+
+
+def _fused_interpret() -> bool:
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+def fused_enabled(cfg_encoding: str) -> bool:
+    """Fused Pallas path policy: fourier encoding on a TPU backend (override
+    with NKT_FUSED=1 to force, e.g. interpret-mode correctness tests, or
+    NKT_FUSED=0 to disable)."""
+    import os
+
+    import jax
+
+    if cfg_encoding != "fourier":
+        return False
+    env = os.environ.get("NKT_FUSED")
+    if env is not None:
+        return env not in ("0", "false")
+    return jax.default_backend() == "tpu"
+
+
+def _fourier_fused_call(params_key: str, params, fourier_cfg, mlp_cfg, x_t, window):
+    """Shared fused evaluation: x_t (3, R, S) RAW positions -> (out, R, S)."""
+    import numpy as np
+
+    from nerf_kbs_tpu.ops.contraction import contract_to_unit_cube_t
+    from nerf_kbs_tpu.ops.fused_field import FusedMLPSpec, fourier_mlp
+
+    R, S = x_t.shape[1], x_t.shape[2]
+    x = contract_to_unit_cube_t(x_t).reshape(3, R * S)
+    B = jax.lax.stop_gradient(params[params_key])
+    if fourier_cfg.basis != "tri":
+        B = B * (2.0 * jnp.pi)
+    H = B.shape[1]
+    mlp = params["mlp"] if "mlp" in params else params["base_mlp"]
+    ws, bs = list(mlp["w"]), list(mlp["b"])
+    if window is not None:
+        # fold the coarse-to-fine frequency window into the first layer:
+        # ([sin, cos] * [win, win]) @ W0 == [sin, cos] @ (concat(win, win) * W0)
+        w2 = jnp.concatenate([window, window])[:, None]
+        ws[0] = ws[0] * w2
+    dims = tuple([w.shape[0] for w in ws] + [ws[-1].shape[1]])
+    spec = FusedMLPSpec(
+        h_freqs=H, layer_dims=dims,
+        tile=4096 if H > 64 else 8192,
+        interpret=_fused_interpret(),
+        bf16=jnp.dtype(mlp_cfg.compute_dtype) == jnp.bfloat16,
+        basis=fourier_cfg.basis,
+    )
+    out = fourier_mlp(spec, x, B, ws, bs)  # (out_dim, R*S)
+    return out.reshape(-1, R, S)
+
+
+def density_field_apply_t(params: dict, cfg: DensityFieldConfig, x_t: jnp.ndarray,
+                          window=None):
+    """Coordinate-major density eval: x_t (3, R, S) -> density (R, S).
+    Fourier encoding only (the fused TPU operating point)."""
+    assert cfg.encoding == "fourier", "fused path is fourier-only"
+    out = _fourier_fused_call("fourier_B", params, cfg.fourier, cfg.mlp, x_t, window)
+    return trunc_exp(out[0] - 1.0)
+
+
+def nerfacto_field_apply_t(
+    params: dict,
+    cfg: NerfactoFieldConfig,
+    x_t: jnp.ndarray,
+    directions: jnp.ndarray,
+    camera_indices: jnp.ndarray,
+    train: bool = True,
+    window=None,
+) -> dict:
+    """Fused coordinate-major field eval.
+
+    x_t (3, R, S) raw positions; directions (R, 3); camera_indices (R, 1).
+    Returns 'density' (R, S), 'rgb_t' (3, R, S), optional 'semantics_t'
+    (C, R, S). Transient/normals heads are not supported here — the model
+    falls back to the standard path when they are enabled.
+    """
+    assert cfg.encoding == "fourier", "fused path is fourier-only"
+    R, S = x_t.shape[1], x_t.shape[2]
+    h = _fourier_fused_call("fourier_B", params, cfg.fourier, cfg.base_mlp, x_t, window)
+    density = trunc_exp(h[0] - 1.0)
+    geo = h[1:]  # (geo_feat_dim, R, S)
+
+    d_enc = sh_encoding(directions, cfg.sh_levels).T  # (16, R)
+    d_enc = jnp.broadcast_to(d_enc[:, :, None], (d_enc.shape[0], R, S))
+    parts = [geo, d_enc]
+    if cfg.appearance_embedding_dim > 0:
+        cam = camera_indices[..., 0]
+        if train or not cfg.use_average_appearance_embedding:
+            app = params["appearance_emb"][cam].T  # (A, R)
+        else:
+            app = jnp.broadcast_to(
+                jnp.mean(params["appearance_emb"], axis=0)[:, None],
+                (cfg.appearance_embedding_dim, R),
+            )
+        parts.append(jnp.broadcast_to(app[:, :, None], (app.shape[0], R, S)))
+    rgb_in = jnp.concatenate(parts, axis=0).reshape(-1, R * S)
+    rgb_t = mlp_apply_t(params["rgb_mlp"], rgb_in, cfg.rgb_mlp).reshape(3, R, S)
+
+    out = {"density": density, "rgb_t": rgb_t}
+    if cfg.use_semantics:
+        sem_in = jax.lax.stop_gradient(geo).reshape(-1, R * S)
+        out["semantics_t"] = mlp_apply_t(
+            params["semantic_mlp"], sem_in, cfg.semantic_mlp
+        ).reshape(-1, R, S)
+    return out

@@ -54,6 +54,7 @@ class NerfactoConfig:
     field_type: str = "hash"  # hash | fourier | cp
     fourier_num_levels: int = 8
     fourier_features_per_level: int = 32
+    fourier_basis: str = "sincos"  # 'sincos' | 'tri' (see ops/fused_field.py)
     proposal_fourier_features_per_level: int = 16
     cp_features_per_level: int = 16
     proposal_cp_features_per_level: int = 8
@@ -128,6 +129,7 @@ class NerfactoConfig:
                 features_per_level=self.fourier_features_per_level,
                 base_resolution=self.base_res,
                 max_resolution=self.max_res,
+                basis=self.fourier_basis,
             ),
             cp=CPEncodingConfig(
                 num_levels=self.fourier_num_levels,
@@ -167,6 +169,7 @@ class NerfactoConfig:
                 features_per_level=self.proposal_fourier_features_per_level,
                 base_resolution=16,
                 max_resolution=self.proposal_max_res[i],
+                basis=self.fourier_basis,
             ),
             cp=CPEncodingConfig(
                 num_levels=self.proposal_num_levels,
@@ -245,11 +248,15 @@ def forward(
         field_window = None
         prop_windows = [None] * cfg.num_proposal_iterations
 
-    density_fns = [
-        (lambda pos, p=params["proposal_networks"][i], c=cfg.proposal_field(i),
-         w=prop_windows[i]: density_field_apply(p, c, pos, window=w))
-        for i in range(cfg.num_proposal_iterations)
-    ]
+    compute_normals = cfg.predict_normals if compute_normals is None else compute_normals
+    from nerf_kbs_tpu.models.fields import fused_enabled
+
+    use_fused = (
+        fused_enabled(cfg.field_type)
+        and not cfg.predict_normals
+        and not compute_normals
+    )
+
     anneal = (
         anneal_schedule(
             jnp.asarray(step, jnp.float32),
@@ -259,32 +266,85 @@ def forward(
         if (cfg.use_proposal_weight_anneal and train)
         else 1.0
     )
-    samples, history = proposal_sample(
-        rays,
-        density_fns,
-        cfg.num_proposal_samples_per_ray,
-        cfg.num_nerf_samples_per_ray,
-        spacing=cfg.proposal_initial_sampler,
-        key=key if train else None,
-        anneal=anneal,
-        single_jitter=cfg.use_single_jitter,
-    )
 
-    compute_normals = cfg.predict_normals if compute_normals is None else compute_normals
-    field_out = nerfacto_field_apply(
-        params["fields"],
-        cfg.field,
-        samples.positions(rays),
-        rays.directions,
-        rays.camera_indices,
-        train=train,
-        compute_normals=compute_normals,
-        window=field_window,
-    )
+    if use_fused:
+        # coordinate-major fused Pallas path (see ops/fused_field.py): same
+        # math, positions kept (3, R, S) and encode+MLP fused in VMEM
+        from nerf_kbs_tpu.models.fields import (
+            density_field_apply_t,
+            nerfacto_field_apply_t,
+        )
+
+        density_fns = [
+            (lambda pos_t, p=params["proposal_networks"][i], c=cfg.proposal_field(i),
+             w=prop_windows[i]: density_field_apply_t(p, c, pos_t, window=w))
+            for i in range(cfg.num_proposal_iterations)
+        ]
+        samples, history = proposal_sample(
+            rays,
+            density_fns,
+            cfg.num_proposal_samples_per_ray,
+            cfg.num_nerf_samples_per_ray,
+            spacing=cfg.proposal_initial_sampler,
+            key=key if train else None,
+            anneal=anneal,
+            single_jitter=cfg.use_single_jitter,
+            positions_of=lambda s: s.positions_t(rays),
+        )
+        field_out = nerfacto_field_apply_t(
+            params["fields"],
+            cfg.field,
+            samples.positions_t(rays),
+            rays.directions,
+            rays.camera_indices,
+            train=train,
+            window=field_window,
+        )
+    else:
+        density_fns = [
+            (lambda pos, p=params["proposal_networks"][i], c=cfg.proposal_field(i),
+             w=prop_windows[i]: density_field_apply(p, c, pos, window=w))
+            for i in range(cfg.num_proposal_iterations)
+        ]
+        samples, history = proposal_sample(
+            rays,
+            density_fns,
+            cfg.num_proposal_samples_per_ray,
+            cfg.num_nerf_samples_per_ray,
+            spacing=cfg.proposal_initial_sampler,
+            key=key if train else None,
+            anneal=anneal,
+            single_jitter=cfg.use_single_jitter,
+        )
+        field_out = nerfacto_field_apply(
+            params["fields"],
+            cfg.field,
+            samples.positions(rays),
+            rays.directions,
+            rays.camera_indices,
+            train=train,
+            compute_normals=compute_normals,
+            window=field_window,
+        )
     weights = R.render_weights(field_out["density"], samples.deltas)
 
+    if use_fused:
+        # composite in the transposed layout: rgb_t (3, R, S), weights (R, S)
+        rgb_t = field_out["rgb_t"]
+        comp = jnp.einsum("rs,drs->rd", weights, rgb_t)
+        acc = jnp.sum(weights, axis=-1, keepdims=True)
+        if cfg.background_color == "last_sample":
+            bg = rgb_t[:, :, -1].T
+        elif cfg.background_color == "white":
+            bg = jnp.ones_like(comp)
+        else:
+            bg = jnp.zeros_like(comp)
+        rgb = comp + bg * (1.0 - acc)
+    else:
+        rgb = R.render_rgb(weights, field_out["rgb"], cfg.background_color)
+
     outputs = {
-        "rgb": R.render_rgb(weights, field_out["rgb"], cfg.background_color),
+        "rgb": rgb,
         "accumulation": R.render_accumulation(weights),
         "depth": R.render_median_depth(weights, samples),
         "expected_depth": R.render_expected_depth(weights, samples),
@@ -294,11 +354,16 @@ def forward(
         "directions_norm": rays.directions_norm,
     }
     if cfg.use_semantic:
-        outputs["semantics"] = R.render_semantics(weights, field_out["semantics"])
-    if compute_normals and "normals" in field_out:
+        if use_fused:
+            outputs["semantics"] = jnp.einsum(
+                "rs,crs->rc", jax.lax.stop_gradient(weights), field_out["semantics_t"]
+            )
+        else:
+            outputs["semantics"] = R.render_semantics(weights, field_out["semantics"])
+    if not use_fused and compute_normals and "normals" in field_out:
         outputs["normals"] = R.render_normals(weights, field_out["normals"])
         outputs["_sample_normals"] = field_out["normals"]
-    if cfg.predict_normals and "pred_normals" in field_out:
+    if not use_fused and cfg.predict_normals and "pred_normals" in field_out:
         outputs["pred_normals"] = R.render_normals(weights, field_out["pred_normals"])
         outputs["_sample_pred_normals"] = field_out["pred_normals"]
     # per-proposal-round depth for diagnostics (reference prop_depth_i,

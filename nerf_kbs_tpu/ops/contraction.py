@@ -30,6 +30,19 @@ def contract_to_unit_cube(x: jnp.ndarray, order: float | None = float("inf")) ->
     return (scene_contraction(x, order) + 2.0) / 4.0
 
 
+def contract_to_unit_cube_t(x_t: jnp.ndarray, order: float | None = float("inf")) -> jnp.ndarray:
+    """Transposed-layout variant: x_t has the coordinate axis FIRST (3, ...).
+    Feature-major layout keeps the large point axis minor so nothing pads to
+    128 lanes on TPU (the fused field path, ops/fused_field.py)."""
+    if order == float("inf"):
+        mag = jnp.max(jnp.abs(x_t), axis=0, keepdims=True)
+    else:
+        mag = jnp.linalg.norm(x_t, axis=0, keepdims=True)
+    mag = jnp.maximum(mag, 1e-9)
+    contracted = jnp.where(mag <= 1.0, x_t, (2.0 - 1.0 / mag) * (x_t / mag))
+    return (contracted + 2.0) / 4.0
+
+
 def normalize_aabb(x: jnp.ndarray, aabb: jnp.ndarray) -> jnp.ndarray:
     """Map points inside an axis-aligned box to [0, 1]^3 (vanilla-NeRF style
     scene box; the reference scene boxes are +-1 cubes,

@@ -365,6 +365,9 @@ class FourierEncodingConfig:
     features_per_level: int = 32  # sin+cos pairs per level (must be even)
     base_resolution: int = 16
     max_resolution: int = 2048
+    # 'sincos' or 'tri' (triangle-wave quadrature pair — piecewise-linear,
+    # ~5x cheaper than sin/cos on the v5e VPU; see ops/fused_field.py)
+    basis: str = "sincos"
 
     @property
     def output_dim(self) -> int:
@@ -415,8 +418,14 @@ def fourier_encoding_apply(
     gradient): moving frequencies destabilizes training. ``window`` is an
     optional per-half-feature weight vector from fourier_window."""
     B = jax.lax.stop_gradient(B)
-    proj = (2.0 * jnp.pi) * jnp.matmul(positions, B)
-    sin, cos = jnp.sin(proj), jnp.cos(proj)
+    if config.basis == "tri":
+        from nerf_kbs_tpu.ops.fused_field import tri_c, tri_s
+
+        proj = jnp.matmul(positions, B)  # cycles
+        sin, cos = tri_s(proj), tri_c(proj)
+    else:
+        proj = (2.0 * jnp.pi) * jnp.matmul(positions, B)
+        sin, cos = jnp.sin(proj), jnp.cos(proj)
     if window is not None:
         sin = sin * window
         cos = cos * window

@@ -81,6 +81,32 @@ def mlp_apply(params: dict, x: jnp.ndarray, config: MLPConfig) -> jnp.ndarray:
     return h
 
 
+def mlp_apply_t(params: dict, x_t: jnp.ndarray, config: MLPConfig) -> jnp.ndarray:
+    """Feature-major variant: x_t (in_dim, N) -> (out_dim, N). Same params as
+    mlp_apply; used by the fused TPU field path where the large point axis is
+    kept minor (no 128-lane padding)."""
+    act = _ACTS[config.activation]
+    cdt = jnp.dtype(config.compute_dtype)
+    h = x_t.astype(cdt)
+    n = len(params["w"])
+    for i in range(n):
+        if i in config.skip_connections:
+            h = jnp.concatenate([h, x_t.astype(cdt)], axis=0)
+        w = params["w"][i].astype(cdt)
+        h = (
+            jax.lax.dot_general(
+                w, h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + params["b"][i][:, None]
+        )
+        if i < n - 1:
+            h = act(h).astype(cdt)
+    if config.out_activation is not None:
+        h = _ACTS[config.out_activation](h)
+    return h
+
+
 # ---------------------------------------------------------------------------
 # Density activation
 # ---------------------------------------------------------------------------

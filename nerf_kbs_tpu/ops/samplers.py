@@ -57,6 +57,14 @@ class RaySamples:
         """(R, S, 3) world-space sample positions at interval midpoints."""
         return rays.origins[..., None, :] + rays.directions[..., None, :] * self.midpoints[..., None]
 
+    def positions_t(self, rays: RayBundle) -> jnp.ndarray:
+        """(3, R, S) coordinate-major positions — the TPU fused-field layout
+        (a (R, S, 3) array physically pads its minor dim 3 -> 128 lanes)."""
+        return (
+            rays.origins.T[:, :, None]
+            + rays.directions.T[:, :, None] * self.midpoints[None, :, :]
+        )
+
 
 # ---------------------------------------------------------------------------
 # spacing warps
@@ -236,15 +244,20 @@ def proposal_sample(
     key: Optional[jax.Array] = None,
     anneal: jnp.ndarray | float = 1.0,
     single_jitter: bool = True,
+    positions_of: Optional[Callable] = None,
 ):
     """Run the proposal chain: initial stratified sampling -> per-round density
     eval -> annealed PDF resample. Returns (final RaySamples,
     list of per-round (RaySamples, weights)) for the interlevel loss.
 
-    density_fns[i] maps (R, S, 3) positions -> (R, S) density.
+    density_fns[i] maps (R, S, 3) positions -> (R, S) density. ``positions_of``
+    overrides how positions are produced from samples (the fused TPU path
+    supplies coordinate-major (3, R, S) positions and matching density_fns).
     """
     from nerf_kbs_tpu.ops.rendering import render_weights
 
+    if positions_of is None:
+        positions_of = lambda s: s.positions(rays)
     rounds = len(num_proposal_samples)
     keys = (
         list(jax.random.split(key, rounds + 1)) if key is not None else [None] * (rounds + 1)
@@ -254,7 +267,7 @@ def proposal_sample(
     )
     history = []
     for i in range(rounds):
-        density = density_fns[i](samples.positions(rays))
+        density = density_fns[i](positions_of(samples))
         weights = render_weights(density, samples.deltas)
         history.append((samples, weights))
         n_next = num_proposal_samples[i + 1] if i + 1 < rounds else num_nerf_samples

@@ -47,6 +47,28 @@ def host_shard_info() -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def all_sum_host_values(*arrays):
+    """Sum small per-host numpy arrays across hosts (used by the rank-strided
+    all-images eval to average metrics globally). Single-host: identity."""
+    if jax.process_count() == 1:
+        return arrays
+    from jax.experimental import multihost_utils
+
+    import numpy as np
+
+    flat = np.concatenate([np.asarray(a, np.float64).ravel() for a in arrays])
+    summed = np.asarray(
+        multihost_utils.process_allgather(flat)
+    ).reshape(jax.process_count(), -1).sum(axis=0)
+    out = []
+    off = 0
+    for a in arrays:
+        n = np.asarray(a).size
+        out.append(summed[off : off + n].reshape(np.shape(a)))
+        off += n
+    return tuple(out)
+
+
 def local_batch_slice(global_batch: int) -> slice:
     """The slice of a global batch this host should materialize: the
     reference's ``train_num_rays_per_batch // world_size`` rule

@@ -136,6 +136,59 @@ def read_images_binary(path: str) -> dict[int, ColmapImage]:
     return imgs
 
 
+@dataclass
+class ColmapPoint3D:
+    point_id: int
+    xyz: np.ndarray  # (3,)
+    rgb: np.ndarray  # (3,) uint8
+    error: float
+    image_ids: np.ndarray  # (track_len,) int32
+
+
+def read_points3d_text(path: str) -> dict[int, ColmapPoint3D]:
+    pts = {}
+    for line in open(path, encoding="utf-8"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        p = line.split()
+        pts[int(p[0])] = ColmapPoint3D(
+            int(p[0]),
+            np.array([float(v) for v in p[1:4]]),
+            np.array([int(v) for v in p[4:7]], np.uint8),
+            float(p[7]),
+            np.array([int(v) for v in p[8::2]], np.int32),
+        )
+    return pts
+
+
+def read_points3d_binary(path: str) -> dict[int, ColmapPoint3D]:
+    pts = {}
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n):
+            pid = struct.unpack("<Q", f.read(8))[0]
+            xyz = struct.unpack("<ddd", f.read(24))
+            rgb = struct.unpack("<BBB", f.read(3))
+            (err,) = struct.unpack("<d", f.read(8))
+            (track_len,) = struct.unpack("<Q", f.read(8))
+            track = struct.unpack("<" + "ii" * track_len, f.read(8 * track_len))
+            pts[pid] = ColmapPoint3D(
+                pid, np.array(xyz), np.array(rgb, np.uint8), err,
+                np.array(track[0::2], np.int32),
+            )
+    return pts
+
+
+def read_points3d(sparse_dir: str) -> dict[int, ColmapPoint3D]:
+    d = Path(sparse_dir)
+    if (d / "points3D.bin").exists():
+        return read_points3d_binary(str(d / "points3D.bin"))
+    if (d / "points3D.txt").exists():
+        return read_points3d_text(str(d / "points3D.txt"))
+    return {}
+
+
 def read_model(sparse_dir: str):
     """Read (cameras, images) from a COLMAP sparse dir (binary preferred)."""
     d = Path(sparse_dir)

@@ -90,23 +90,56 @@ def run_colmap(cfg: ProcessImagesConfig) -> Path:
     return sparse / "0"
 
 
-def export_sfm_depth(sparse_dir: str, output_dir: str) -> int:
+def export_sfm_depth(
+    sparse_dir: str, output_dir: str, max_repro_error: float = 4.0
+) -> int:
     """Project COLMAP 3D points into each frame -> sparse depth .npy per
     image (capability of colmap_utils.create_sfm_depth, reference
-    create_transform.py:89-104). Requires points3D in the model; text models
-    without points produce empty maps. Returns frames written."""
-    from nerf_kbs_tpu.process_data.colmap_io import read_model
+    create_transform.py:89-104): per point, z-depth splatted at the projected
+    pixel for every image in its track; nearer points win where splats
+    collide; high-reprojection-error points are dropped. 0 = no depth.
+    Returns frames written."""
+    from nerf_kbs_tpu.process_data.colmap_io import (
+        _camera_intrinsics,
+        qvec2rotmat,
+        read_model,
+        read_points3d,
+    )
 
     cams, imgs = read_model(sparse_dir)
+    points = read_points3d(sparse_dir)
+    per_image: dict[int, list] = {iid: [] for iid in imgs}
+    for p in points.values():
+        if p.error > max_repro_error:
+            continue
+        for iid in set(int(i) for i in p.image_ids):
+            if iid in per_image:
+                per_image[iid].append(p.xyz)
+
     d = Path(output_dir) / "depth"
     d.mkdir(parents=True, exist_ok=True)
-    # Minimal implementation: zero maps when no dense points are available;
-    # per-point splatting is added when points3D parsing lands (round 2).
     n = 0
     for iid, im in imgs.items():
         cam = cams[im.camera_id]
-        np.save(d / f"{Path(im.name).stem}.npy",
-                np.zeros((cam.height, cam.width), np.float32))
+        intr = _camera_intrinsics(cam)
+        h, w = int(intr["h"]), int(intr["w"])
+        depth = np.full((h, w), np.inf, np.float32)
+        pts = per_image[iid]
+        if pts:
+            X = np.asarray(pts)
+            R = qvec2rotmat(im.qvec)
+            Xc = X @ R.T + im.tvec  # world -> camera (OpenCV, +z forward)
+            z = Xc[:, 2]
+            valid = z > 1e-6
+            u = np.round(intr["fl_x"] * Xc[:, 0] / np.maximum(z, 1e-6) + intr["cx"]).astype(int)
+            v = np.round(intr["fl_y"] * Xc[:, 1] / np.maximum(z, 1e-6) + intr["cy"]).astype(int)
+            valid &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+            # nearest-point-wins splat: sort far -> near so near overwrites
+            order = np.argsort(-z[valid])
+            uu, vv, zz = u[valid][order], v[valid][order], z[valid][order]
+            depth[vv, uu] = zz
+        depth[~np.isfinite(depth)] = 0.0
+        np.save(d / f"{Path(im.name).stem}.npy", depth)
         n += 1
     return n
 

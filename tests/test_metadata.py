@@ -158,3 +158,56 @@ def test_build_kitti_metadata_end_to_end(tmp_path):
     assert len(out.image_filenames) == 7
     assert out.times is not None
     assert abs(out.metadata["pose_scale_factor"] - meta["pose_scale_factor"]) < 1e-9
+
+
+def test_points3d_and_sfm_depth_export(tmp_path):
+    """points3D parsing (text + binary agree) and per-point sparse-depth
+    splatting (reference create_transform.py:89-104 capability)."""
+    from nerf_kbs_tpu.process_data.create_transform import export_sfm_depth
+
+    d = tmp_path / "sparse"
+    d.mkdir(parents=True)
+    # one identity-pose camera at origin
+    (d / "cameras.txt").write_text("1 PINHOLE 32 24 40.0 40.0 16.0 12.0\n")
+    (d / "images.txt").write_text(
+        "1 1.0 0.0 0.0 0.0 0.0 0.0 0.0 1 frame_0001.png\n\n"
+    )
+    # two points in front of the camera (+z in OpenCV), one behind, one noisy
+    pts = [
+        (1, 0.0, 0.0, 2.0, 0.5),    # projects to principal point, depth 2
+        (2, 0.1, 0.05, 4.0, 0.5),   # off-center, depth 4
+        (3, 0.0, 0.0, -1.0, 0.5),   # behind camera -> dropped
+        (4, 0.0, 0.0, 3.0, 99.0),   # high error -> dropped
+    ]
+    lines = [
+        f"{pid} {x} {y} {z} 255 0 0 {err} 1 0" for pid, x, y, z, err in pts
+    ]
+    (d / "points3D.txt").write_text("\n".join(lines))
+
+    n = export_sfm_depth(str(d), str(tmp_path / "out"))
+    assert n == 1
+    depth = np.load(tmp_path / "out" / "depth" / "frame_0001.npy")
+    assert depth.shape == (24, 32)
+    assert depth[12, 16] == pytest.approx(2.0)  # nearest point wins at cx,cy
+    u = round(40.0 * 0.1 / 4.0 + 16)
+    v = round(40.0 * 0.05 / 4.0 + 12)
+    assert depth[v, u] == pytest.approx(4.0)
+    assert (depth > 0).sum() == 2  # behind-camera + high-error points dropped
+
+    # binary writer/reader round-trip for points3D
+    pts_t = C.read_points3d(str(d))
+    with open(d / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", len(pts_t)))
+        for p in pts_t.values():
+            f.write(struct.pack("<Q", p.point_id))
+            f.write(struct.pack("<ddd", *p.xyz))
+            f.write(struct.pack("<BBB", *p.rgb))
+            f.write(struct.pack("<d", p.error))
+            f.write(struct.pack("<Q", len(p.image_ids)))
+            for iid in p.image_ids:
+                f.write(struct.pack("<ii", int(iid), 0))
+    pts_b = C.read_points3d_binary(str(d / "points3D.bin"))
+    assert set(pts_b) == set(pts_t)
+    for k in pts_t:
+        np.testing.assert_allclose(pts_b[k].xyz, pts_t[k].xyz)
+        assert list(pts_b[k].image_ids) == list(pts_t[k].image_ids)

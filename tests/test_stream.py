@@ -235,3 +235,30 @@ def test_nerfacto_sky_loss_active():
     batch = {"image": jnp.full((8, 3), 0.5), "sky": jnp.ones((8, 1))}
     total, metrics = nerfacto.loss(cfg, out, batch)
     assert "sky_loss" in metrics and np.isfinite(float(total))
+
+
+def test_eval_camera_surface(tmp_path):
+    items = make_items(tmp_path, n=8, with_mask=False)
+    for i, it in enumerate(items):
+        it.video_id = 0 if i < 4 else 1
+    dm = ChunkedStreamDataManager(
+        items, items,
+        StreamConfig(items_per_chunk=1000, train_num_rays_per_batch=16, seed=11),
+    )
+    # video filter
+    idx, cams = dm.all_indices_eval_cameras(video_ids={1})
+    assert [items[i].video_id for i in idx] == [1, 1, 1, 1]
+    # per-video frame range (frames 1..2 of each video)
+    idx, _ = dm.all_indices_eval_cameras(start_frame=1, end_frame=3)
+    assert idx == [1, 2, 5, 6]
+    # focal_mult and pos_shift overrides
+    idx, cams2 = dm.all_indices_eval_cameras(focal_mult=2.0,
+                                             pos_shift=np.array([1.0, 0, 0]))
+    np.testing.assert_allclose(np.asarray(cams2.fx), np.asarray(cams.fx) * 2.0)
+    base, _ = dm.all_indices_eval_cameras()
+    np.testing.assert_allclose(
+        np.asarray(cams2.c2w)[:, :, 3],
+        np.asarray(dm._cameras_of(items).c2w)[:, :, 3] + np.array([1.0, 0, 0]),
+        atol=1e-6,
+    )
+    dm.close()

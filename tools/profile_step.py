@@ -46,7 +46,11 @@ def main():
     from nerf_kbs_tpu.models.fields import density_field_apply, nerfacto_field_apply
     from nerf_kbs_tpu.ops import rendering as R
     from nerf_kbs_tpu.ops.samplers import proposal_sample, uniform_sampler
-    from tools.study_field import parse_overrides
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from study_field import parse_overrides
 
     B = args.batch
     dm = SyntheticDataManager(num_cameras=8, h=64, w=64, rays_per_batch=B)
