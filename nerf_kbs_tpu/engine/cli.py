@@ -226,9 +226,20 @@ def main(argv: Optional[list[str]] = None) -> None:
     eval_only = overrides.pop("eval-only", overrides.pop("eval_only", "false")).lower() in ("1", "true")
     render_only = overrides.pop("render-only", overrides.pop("render_only", "false")).lower() in ("1", "true")
     render_dir = overrides.pop("render-dir", overrides.pop("render_dir", "renders"))
+    serve_port = int(overrides.pop("serve", "0") or 0)
 
     spec = apply_overrides(method_registry[method](), overrides)
     trainer = build_trainer(spec)
+    if serve_port:
+        # interactive viewer mode (the reference's vis='viewer',
+        # train.py:100): serve renders from the loaded checkpoint
+        from nerf_kbs_tpu.engine.viewer import ViewerServer
+
+        ViewerServer(
+            trainer, eval_image_dir=str(trainer.out_dir / "eval_images"),
+            port=serve_port,
+        ).serve_forever()
+        return
     if eval_only:
         import json as _json
 

@@ -1,0 +1,211 @@
+"""Minimal HTTP viewer — the headless stand-in for nerfstudio's websocket
+viewer (the reference trains with ``vis="viewer"``, reference train.py:100).
+
+Two modes:
+
+- **standalone** (``nkt-train <method> --serve 7007 --trainer.load-dir ...``):
+  renders eval cameras and free orbit cameras on demand from a checkpoint;
+- **during training** (``TrainerConfig.viewer_port``): a daemon thread serves
+  the latest eval-image dumps and live metrics without touching the device
+  (renders would contend with the train step on-chip).
+
+Endpoints:
+  GET /            HTML page (latest render + camera controls)
+  GET /status      JSON {step, num_eval_images, mode, last_metrics}
+  GET /render?cam=0&kind=rgb|depth        eval-camera render (standalone)
+  GET /orbit?theta=0&phi=0.3&radius=1.6&size=128   free-orbit render
+  GET /latest?kind=rgb|depth              newest eval dump (training mode)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_PAGE = """<!doctype html><html><head><title>nerf-kbs-tpu viewer</title></head>
+<body style="font-family:monospace;background:#111;color:#ddd">
+<h3>nerf-kbs-tpu viewer</h3>
+<div id="status"></div>
+<div>
+ cam <input id="cam" type="number" value="0" min="0" style="width:4em">
+ kind <select id="kind"><option>rgb</option><option>depth</option></select>
+ <button onclick="renderCam()">render</button>
+ &nbsp;|&nbsp; orbit &theta; <input id="th" type="range" min="0" max="6.28" step="0.05" value="0" style="width:10em">
+ <button onclick="renderOrbit()">orbit render</button>
+</div>
+<p><img id="im" style="max-width:95%%;image-rendering:pixelated"></p>
+<script>
+async function refresh(){
+  const s = await (await fetch('/status')).json();
+  document.getElementById('status').textContent = JSON.stringify(s);
+}
+function renderCam(){
+  const c=document.getElementById('cam').value, k=document.getElementById('kind').value;
+  document.getElementById('im').src='/render?cam='+c+'&kind='+k+'&t='+Date.now();
+}
+function renderOrbit(){
+  const th=document.getElementById('th').value;
+  document.getElementById('im').src='/orbit?theta='+th+'&t='+Date.now();
+}
+refresh(); setInterval(refresh, 2000);
+</script></body></html>"""
+
+
+def _to_png(arr: np.ndarray) -> bytes:
+    from PIL import Image
+
+    from nerf_kbs_tpu.utils import colormaps as cm
+
+    buf = io.BytesIO()
+    Image.fromarray(cm.to_uint8(arr)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class ViewerServer:
+    def __init__(self, trainer=None, eval_image_dir: str | None = None,
+                 port: int = 7007):
+        self.trainer = trainer
+        self.eval_image_dir = Path(eval_image_dir) if eval_image_dir else None
+        self.port = port
+        self._render_lock = threading.Lock()
+        self.last_metrics: dict = {}
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, body, ctype="application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                try:
+                    u = urlparse(self.path)
+                    q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                    if u.path == "/":
+                        self._send(200, _PAGE.encode(), "text/html")
+                    elif u.path == "/status":
+                        self._send(200, json.dumps(viewer.status()).encode())
+                    elif u.path == "/render":
+                        png = viewer.render_eval_camera(
+                            int(q.get("cam", 0)), q.get("kind", "rgb")
+                        )
+                        self._send(200, png, "image/png")
+                    elif u.path == "/orbit":
+                        png = viewer.render_orbit(
+                            float(q.get("theta", 0.0)),
+                            float(q.get("phi", 0.35)),
+                            float(q.get("radius", 1.6)),
+                            int(q.get("size", 128)),
+                        )
+                        self._send(200, png, "image/png")
+                    elif u.path == "/latest":
+                        png = viewer.latest_dump(q.get("kind", "rgb"))
+                        if png is None:
+                            self._send(404, b'{"error": "no eval dumps yet"}')
+                        else:
+                            self._send(200, png, "image/png")
+                    else:
+                        self._send(404, b'{"error": "not found"}')
+                except Exception as e:  # surface errors to the client
+                    self._send(500, json.dumps({"error": str(e)}).encode())
+
+        self._server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+
+    # ------------------------------------------------------------- handlers
+    def status(self) -> dict:
+        out = {"mode": "standalone" if self.trainer is not None else "training",
+               "port": self.port}
+        if self.trainer is not None:
+            out["step"] = self.trainer.step
+            out["num_eval_images"] = self.trainer.dm.num_eval_images()
+        if self.eval_image_dir is not None and self.eval_image_dir.exists():
+            dumps = sorted(self.eval_image_dir.glob("*_rgb.png"))
+            out["num_dumps"] = len(dumps)
+            if dumps:
+                out["latest_dump"] = dumps[-1].name
+        metrics_file = (
+            self.eval_image_dir.parent / "metrics.jsonl"
+            if self.eval_image_dir is not None else None
+        )
+        if metrics_file is not None and metrics_file.exists():
+            try:
+                last = metrics_file.read_text().strip().rsplit("\n", 1)[-1]
+                out["last_metrics"] = json.loads(last)
+            except Exception:
+                pass
+        return out
+
+    def render_eval_camera(self, cam: int, kind: str) -> bytes:
+        if self.trainer is None:
+            raise RuntimeError("live rendering only in standalone (--serve) mode")
+        with self._render_lock:
+            outputs = self.trainer.render_camera(cam)
+        return self._encode(outputs, kind)
+
+    def render_orbit(self, theta: float, phi: float, radius: float, size: int) -> bytes:
+        if self.trainer is None:
+            raise RuntimeError("live rendering only in standalone (--serve) mode")
+        from nerf_kbs_tpu.data.outputs import DataparserOutputs
+
+        origin = radius * np.array(
+            [np.cos(theta) * np.cos(phi), np.sin(theta) * np.cos(phi), np.sin(phi)]
+        )
+        z = origin / np.linalg.norm(origin)
+        x = np.cross(np.array([0.0, 0.0, 1.0]), z)
+        x = x / max(np.linalg.norm(x), 1e-9)
+        y = np.cross(z, x)
+        c2w = np.stack([x, y, z, origin], axis=1)[None].astype(np.float32)
+        f = size * 1.1
+        cams_np = {
+            "fx": np.array([f], np.float32), "fy": np.array([f], np.float32),
+            "cx": np.array([size / 2], np.float32), "cy": np.array([size / 2], np.float32),
+            "c2w": c2w, "width": np.array([size], np.int32),
+            "height": np.array([size], np.int32),
+        }
+        cameras = DataparserOutputs([], cams_np, np.array([[-1.0] * 3, [1.0] * 3])).cameras()
+        with self._render_lock:
+            outputs = self.trainer.render_camera(0, cameras=cameras)
+        return self._encode(outputs, "rgb")
+
+    def latest_dump(self, kind: str):
+        if self.eval_image_dir is None or not self.eval_image_dir.exists():
+            return None
+        dumps = sorted(self.eval_image_dir.glob(f"*_{kind}.png"))
+        if not dumps:
+            return None
+        return dumps[-1].read_bytes()
+
+    def _encode(self, outputs: dict, kind: str) -> bytes:
+        if kind == "depth":
+            from nerf_kbs_tpu.utils import colormaps as cm
+
+            panel = cm.apply_depth_colormap(
+                outputs["depth"], outputs.get("accumulation")
+            )
+            return _to_png(panel)
+        return _to_png(outputs["rgb"])
+
+    # ------------------------------------------------------------ lifecycle
+    def serve_forever(self):
+        print(f"viewer listening on http://0.0.0.0:{self.port}", flush=True)
+        self._server.serve_forever()
+
+    def start_background(self):
+        t = threading.Thread(target=self._server.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self._server.shutdown()
+        self._server.server_close()

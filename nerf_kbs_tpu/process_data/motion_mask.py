@@ -114,6 +114,38 @@ def per_object_fusion(
     return 1 - final
 
 
+def instances_from_components(
+    mask: np.ndarray, min_area: int = 64, close_size: int = 7
+) -> np.ndarray:
+    """Weight-free instance extraction: connected components of a binary mask
+    after morphological closing, small blobs dropped. Returns an int32
+    instance-label map (0 = background).
+
+    This is the self-contained stand-in for the reference's Mask R-CNN
+    instance masks (motion_mask_util.py:337-392): when no segmentation
+    network output is available, motion blobs themselves are treated as
+    objects so per-object fusion (per_object_fusion) still applies — the
+    pipeline runs end-to-end from raw video with zero external inputs.
+    Precomputed instance masks / panoptic annotations take priority when
+    provided (as the reference also accepts, motion_mask.py:240,473-475).
+    """
+    from scipy import ndimage
+
+    m = np.asarray(mask) > 0
+    if close_size > 1:
+        st = np.ones((close_size, close_size), bool)
+        m = ndimage.binary_closing(m, structure=st)
+    labels, n = ndimage.label(m)
+    out = np.zeros_like(labels, dtype=np.int32)
+    nxt = 1
+    for i in range(1, n + 1):
+        blob = labels == i
+        if blob.sum() >= min_area:
+            out[blob] = nxt
+            nxt += 1
+    return out
+
+
 def post_process_disparity(l_disp: jnp.ndarray, r_disp: jnp.ndarray) -> jnp.ndarray:
     """Monodepth v1 flip-fusion of disparities predicted on the image and its
     horizontal flip. l_disp/r_disp: (B, H, W)

@@ -52,6 +52,13 @@ class MotionMaskConfig:
     m_th: float = 0.6
     raft_iters: int = 20
     instance_mask_dir: Optional[str] = None
+    # panoptic KITTI-STEP annotation dir (converted to dynamic-class masks)
+    panoptic_dir: Optional[str] = None
+    # with neither instance masks nor panoptic annotations, extract object
+    # proposals as connected components of the hard motion mask so per-object
+    # fusion still runs (self-contained end-to-end mode)
+    instances_from_motion: bool = True
+    min_instance_area: int = 64
     monodepth_dir: Optional[str] = None  # monodepth2 ckpt dir (else random init)
     raft_ckpt: Optional[str] = None
     width: int = 640
@@ -193,6 +200,18 @@ def run(cfg: MotionMaskConfig, max_frames: Optional[int] = None) -> dict:
                 with Image.open(ip) as im:
                     ins = np.asarray(im.convert("L"), np.float32) / 255.0
                 combined, _ = MM.fuse_instance_motion_mask(1.0 - ins, hard, cfg.m_th)
+        elif cfg.panoptic_dir:
+            pp = Path(cfg.panoptic_dir) / frame_paths[i].name
+            if pp.exists():
+                with Image.open(pp) as im:
+                    pano = np.asarray(im)
+                dyn = MM.panoptic_to_dynamic_mask(pano)
+                combined, _ = MM.fuse_instance_motion_mask(1.0 - dyn, hard, cfg.m_th)
+        elif cfg.instances_from_motion:
+            # no external segmentation: motion blobs as object proposals
+            inst = MM.instances_from_components(hard, cfg.min_instance_area)
+            if inst.max() > 0:
+                combined = 1 - MM.per_object_fusion(inst, hard, cfg.m_th)
         n_dynamic += int(combined.sum())
 
         stem = frame_paths[i].stem

@@ -163,3 +163,22 @@ def test_render_mask_on_image():
     out = MM.render_mask_on_image(img, mask, color=(255, 0, 0), mask_weight=1.0)
     assert tuple(out[0, 0]) == (255, 0, 0)
     assert tuple(out[1, 1]) == (0, 0, 0)
+
+
+def test_instances_from_components():
+    from nerf_kbs_tpu.process_data.motion_mask import (
+        instances_from_components,
+        per_object_fusion,
+    )
+
+    mask = np.zeros((40, 60), np.uint8)
+    mask[5:15, 5:20] = 1          # blob A (150 px)
+    mask[25:35, 40:55] = 1        # blob B (150 px)
+    mask[0:2, 58:60] = 1          # tiny blob -> dropped
+    inst = instances_from_components(mask, min_area=64, close_size=3)
+    assert inst.max() == 2
+    assert (inst[5:15, 5:20] > 0).all()
+    assert inst[0, 59] == 0
+    # fusing the blobs with the same motion mask marks them fully dynamic
+    static = per_object_fusion(inst, mask, m_th=0.6)
+    assert static[10, 10] == 0 and static[30, 45] == 0 and static[20, 30] == 1

@@ -136,3 +136,46 @@ def test_raft_train_step_decreases_loss(tmp_path):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_viewer_server_endpoints(tmp_path):
+    """Viewer stand-in: /status, /render, /orbit against a tiny trainer."""
+    import json
+    import urllib.request
+
+    from nerf_kbs_tpu.data.synthetic import SyntheticDataManager
+    from nerf_kbs_tpu.engine.optimizers import OptimizerConfig
+    from nerf_kbs_tpu.engine.trainer import Trainer, TrainerConfig
+    from nerf_kbs_tpu.engine.viewer import ViewerServer
+    from nerf_kbs_tpu.models import nerfacto
+
+    import dataclasses
+
+    from tests.test_models import TINY
+
+    dm = SyntheticDataManager(num_cameras=4, h=16, w=16, rays_per_batch=64)
+    cfg = dataclasses.replace(TINY, num_images=4)
+    tr = Trainer(
+        TrainerConfig(output_dir=str(tmp_path), eval_num_rays_per_chunk=256),
+        nerfacto, cfg,
+        {"proposal_networks": OptimizerConfig(), "fields": OptimizerConfig()},
+        dm,
+    )
+    srv = ViewerServer(tr, eval_image_dir=str(tr.out_dir / "eval_images"), port=0)
+    port = srv._server.server_address[1]
+    srv.start_background()
+    try:
+        st = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/status", timeout=30).read())
+        assert st["mode"] == "standalone" and st["num_eval_images"] == 2
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?cam=0&kind=rgb", timeout=120).read()
+        assert png[:4] == b"\x89PNG"
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/orbit?theta=1.0&size=16", timeout=120).read()
+        assert png[:4] == b"\x89PNG"
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30).read()
+        assert b"viewer" in html
+    finally:
+        srv.shutdown()
