@@ -452,13 +452,10 @@ def nerfacto_field_apply_t(
     """
     assert cfg.encoding == "fourier", "fused path is fourier-only"
     R, S = x_t.shape[1], x_t.shape[2]
-    h = _fourier_fused_call("fourier_B", params, cfg.fourier, cfg.base_mlp, x_t, window)
-    density = trunc_exp(h[0] - 1.0)
-    geo = h[1:]  # (geo_feat_dim, R, S)
 
+    # per-point conditioning rows: SH-encoded view dirs + appearance embedding
     d_enc = sh_encoding(directions, cfg.sh_levels).T  # (16, R)
-    d_enc = jnp.broadcast_to(d_enc[:, :, None], (d_enc.shape[0], R, S))
-    parts = [geo, d_enc]
+    feats = [jnp.broadcast_to(d_enc[:, :, None], (d_enc.shape[0], R, S))]
     if cfg.appearance_embedding_dim > 0:
         cam = camera_indices[..., 0]
         if train or not cfg.use_average_appearance_embedding:
@@ -468,14 +465,54 @@ def nerfacto_field_apply_t(
                 jnp.mean(params["appearance_emb"], axis=0)[:, None],
                 (cfg.appearance_embedding_dim, R),
             )
-        parts.append(jnp.broadcast_to(app[:, :, None], (app.shape[0], R, S)))
-    rgb_in = jnp.concatenate(parts, axis=0).reshape(-1, R * S)
+        feats.append(jnp.broadcast_to(app[:, :, None], (app.shape[0], R, S)))
+    feats_t = jnp.concatenate(feats, axis=0).reshape(-1, R * S)
+
+    if not cfg.use_semantics:
+        # fully-fused kernel: base MLP + rgb head in one pallas call, geo
+        # never leaves VMEM (the semantics head needs geo, so that path uses
+        # the split kernel below)
+        from nerf_kbs_tpu.ops.contraction import contract_to_unit_cube_t
+        from nerf_kbs_tpu.ops.fused_field import FusedFieldSpec, fourier_field_mlp
+
+        x = contract_to_unit_cube_t(x_t).reshape(3, R * S)
+        B = jax.lax.stop_gradient(params["fourier_B"])
+        if cfg.fourier.basis != "tri":
+            B = B * (2.0 * jnp.pi)
+        base = params["base_mlp"]
+        ws, bs = list(base["w"]), list(base["b"])
+        if window is not None:
+            ws[0] = ws[0] * jnp.concatenate([window, window])[:, None]
+        rgb = params["rgb_mlp"]
+        spec = FusedFieldSpec(
+            h_freqs=B.shape[1],
+            feat_dim=feats_t.shape[0],
+            base_dims=tuple([w.shape[0] for w in ws] + [ws[-1].shape[1]]),
+            rgb_dims=tuple([w.shape[0] for w in rgb["w"]] + [rgb["w"][-1].shape[1]]),
+            tile=2048 if B.shape[1] > 64 else 4096,
+            interpret=_fused_interpret(),
+            bf16=jnp.dtype(cfg.compute_dtype) == jnp.bfloat16,
+            basis=cfg.fourier.basis,
+        )
+        out4 = fourier_field_mlp(
+            spec, x, feats_t, B, ws, bs, list(rgb["w"]), list(rgb["b"])
+        )
+        return {
+            "density": trunc_exp(out4[0].reshape(R, S) - 1.0),
+            "rgb_t": out4[1:].reshape(3, R, S),
+        }
+
+    h = _fourier_fused_call("fourier_B", params, cfg.fourier, cfg.base_mlp, x_t, window)
+    density = trunc_exp(h[0] - 1.0)
+    geo = h[1:]  # (geo_feat_dim, R, S)
+    rgb_in = jnp.concatenate(
+        [geo.reshape(-1, R * S), feats_t], axis=0
+    )
     rgb_t = mlp_apply_t(params["rgb_mlp"], rgb_in, cfg.rgb_mlp).reshape(3, R, S)
 
     out = {"density": density, "rgb_t": rgb_t}
-    if cfg.use_semantics:
-        sem_in = jax.lax.stop_gradient(geo).reshape(-1, R * S)
-        out["semantics_t"] = mlp_apply_t(
-            params["semantic_mlp"], sem_in, cfg.semantic_mlp
-        ).reshape(-1, R, S)
+    sem_in = jax.lax.stop_gradient(geo).reshape(-1, R * S)
+    out["semantics_t"] = mlp_apply_t(
+        params["semantic_mlp"], sem_in, cfg.semantic_mlp
+    ).reshape(-1, R, S)
     return out

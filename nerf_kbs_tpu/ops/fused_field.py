@@ -176,9 +176,9 @@ def _bwd_body(spec: FusedMLPSpec, x_ref, B_ref, wb_refs, g_ref,
         fc = proj - jnp.floor(proj)
         s_f = 4.0 * jnp.abs(fs - 0.5) - 1.0
         c_f = 4.0 * jnp.abs(fc - 0.5) - 1.0
-        # d tri / du = -4 sign(frac - 0.5)
-        dsdu = jnp.where(fs > 0.5, -4.0, 4.0)
-        dcdu = jnp.where(fc > 0.5, -4.0, 4.0)
+        # d tri / du = 4 sign(frac - 0.5)
+        dsdu = jnp.where(fs > 0.5, 4.0, -4.0)
+        dcdu = jnp.where(fc > 0.5, 4.0, -4.0)
     else:
         s_f = jnp.sin(proj)
         c_f = jnp.cos(proj)
@@ -417,3 +417,335 @@ def _vjp_fwd(spec, x_t, B, ws, bs):
 
 
 fourier_mlp.defvjp(_vjp_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused nerfacto field: base MLP + RGB head in one kernel
+# ---------------------------------------------------------------------------
+#
+# The split path (base kernel + transposed-XLA rgb head) still pays ~25 ms of
+# HBM traffic for geo / concat / hidden activations at 64k rays. This kernel
+# keeps geo entirely in VMEM: inputs are positions (3, N) and per-point
+# conditioning features (F, N) (SH dir encoding + appearance rows); outputs
+# are [sigma_raw; rgb] (4, N). tcnn's fully-fused field analog.
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedFieldSpec:
+    h_freqs: int
+    feat_dim: int
+    base_dims: tuple  # (2H, ..., 1 + geo)
+    rgb_dims: tuple   # (geo + feat_dim, ..., 3)
+    tile: int = 2048
+    interpret: bool = False
+    bf16: bool = True
+    basis: str = "sincos"
+
+    @property
+    def geo_dim(self) -> int:
+        return self.base_dims[-1] - 1
+
+
+def _basis_pair(spec, proj):
+    if spec.basis == "tri":
+        return tri_s(proj), tri_c(proj)
+    return jnp.sin(proj), jnp.cos(proj)
+
+
+def _basis_grads(spec, proj, s_f, c_f):
+    if spec.basis == "tri":
+        fs = proj + 0.75
+        fs = fs - jnp.floor(fs)
+        fc = proj - jnp.floor(proj)
+        return (jnp.where(fs > 0.5, 4.0, -4.0), jnp.where(fc > 0.5, 4.0, -4.0))
+    return c_f, -s_f
+
+
+def _chain_fwd(dims, wb_refs, h0, cdt, f32):
+    """Apply a relu MLP chain to h0 (d0, T); returns (pre_acts, act_inputs).
+    wb_refs alternate [W_i, b_i]; no activation after the last layer."""
+    pre, acts = [], []
+    h = h0
+    L = len(dims) - 1
+    for i in range(L):
+        acts.append(h)
+        w, b = wb_refs[2 * i], wb_refs[2 * i + 1]
+        hp = (
+            jax.lax.dot_general(
+                w[:].astype(cdt), h, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            + b[:].astype(f32)
+        )
+        pre.append(hp)
+        if i < L - 1:
+            h = jnp.maximum(hp, 0.0).astype(cdt)
+    return pre, acts
+
+
+def _chain_bwd(dims, wb_refs, dwb_refs, acc, pre, acts, dh, cdt, f32):
+    """Backprop dh (grad of final pre-activation) through the chain; returns
+    gradient w.r.t. the chain input (d0, T). Accumulates weight grads."""
+    L = len(dims) - 1
+    for i in range(L - 1, -1, -1):
+        a = acts[i]
+        if dims[i + 1] == 1:
+            dw = jnp.sum(a.astype(f32) * dh, axis=1, keepdims=True)
+        else:
+            dw = jax.lax.dot_general(
+                a, dh.astype(cdt), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        acc(dwb_refs[2 * i], dw)
+        acc(dwb_refs[2 * i + 1], jnp.sum(dh, axis=1, keepdims=True))
+        w = wb_refs[2 * i]
+        if dims[i + 1] == 1:
+            dh_prev = w[:].astype(f32) * dh
+        else:
+            dh_prev = jax.lax.dot_general(
+                w[:].astype(cdt), dh.astype(cdt), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        if i > 0:
+            dh = dh_prev * (pre[i - 1] > 0.0).astype(f32)
+        else:
+            return dh_prev
+    return dh_prev
+
+
+def _field_fwd_body(spec: FusedFieldSpec, x_ref, feat_ref, B_ref,
+                    base_refs, rgb_refs, out_ref):
+    f32 = jnp.float32
+    cdt = jnp.bfloat16 if spec.bf16 else jnp.float32
+    x = x_ref[:].astype(f32)
+    proj = jax.lax.dot_general(
+        B_ref[:].astype(f32), x, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    s_f, c_f = _basis_pair(spec, proj)
+    enc = jnp.concatenate([s_f, c_f], axis=0).astype(cdt)
+    pre_b, _ = _chain_fwd(spec.base_dims, base_refs, enc, cdt, f32)
+    base_out = pre_b[-1]  # (1 + G, T)
+    rgb_in = jnp.concatenate(
+        [base_out[1:].astype(cdt), feat_ref[:].astype(cdt)], axis=0
+    )
+    pre_r, _ = _chain_fwd(spec.rgb_dims, rgb_refs, rgb_in, cdt, f32)
+    rgb = jax.nn.sigmoid(pre_r[-1])
+    out_ref[:] = jnp.concatenate([base_out[0:1], rgb], axis=0).astype(out_ref.dtype)
+
+
+def _field_bwd_body(spec: FusedFieldSpec, x_ref, feat_ref, B_ref,
+                    base_refs, rgb_refs, g_ref,
+                    dx_ref, dfeat_ref, dbase_refs, drgb_refs):
+    f32 = jnp.float32
+    cdt = jnp.bfloat16 if spec.bf16 else jnp.float32
+    first = pl.program_id(0) == 0
+
+    def acc(ref, val):
+        @pl.when(first)
+        def _():
+            ref[:] = jnp.zeros_like(ref)
+
+        ref[:] += val.astype(ref.dtype)
+
+    x = x_ref[:].astype(f32)
+    Bm = B_ref[:].astype(f32)
+    proj = jax.lax.dot_general(
+        Bm, x, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    s_f, c_f = _basis_pair(spec, proj)
+    dsdu, dcdu = _basis_grads(spec, proj, s_f, c_f)
+    enc = jnp.concatenate([s_f, c_f], axis=0).astype(cdt)
+    pre_b, acts_b = _chain_fwd(spec.base_dims, base_refs, enc, cdt, f32)
+    base_out = pre_b[-1]
+    geo = base_out[1:]
+    rgb_in = jnp.concatenate(
+        [geo.astype(cdt), feat_ref[:].astype(cdt)], axis=0
+    )
+    pre_r, acts_r = _chain_fwd(spec.rgb_dims, rgb_refs, rgb_in, cdt, f32)
+    rgb = jax.nn.sigmoid(pre_r[-1])
+
+    g = g_ref[:].astype(f32)
+    d_rgb_pre = g[1:] * rgb * (1.0 - rgb)
+    d_rgb_in = _chain_bwd(
+        spec.rgb_dims, rgb_refs, drgb_refs, acc, pre_r, acts_r, d_rgb_pre,
+        cdt, f32,
+    )
+    G = spec.geo_dim
+    d_base_out = jnp.concatenate([g[0:1], d_rgb_in[:G]], axis=0)
+    dfeat_ref[:] = d_rgb_in[G:].astype(dfeat_ref.dtype)
+    # d_base_out is the gradient of the base chain's final PRE-activation
+    d_enc = _chain_bwd(
+        spec.base_dims, base_refs, dbase_refs, acc, pre_b, acts_b, d_base_out,
+        cdt, f32,
+    )
+    H = spec.h_freqs
+    dproj = d_enc[:H] * dsdu + d_enc[H:] * dcdu
+    dx_ref[:] = jax.lax.dot_general(
+        Bm, dproj, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    ).astype(dx_ref.dtype)
+
+
+def _field_wb_list(ws, bs):
+    out = []
+    for w, b in zip(ws, bs):
+        out += [w, b.reshape(-1, 1)]
+    return out
+
+
+def _field_wb_specs(dims):
+    out = []
+    for i in range(len(dims) - 1):
+        out += [_const_spec((dims[i], dims[i + 1])), _const_spec((dims[i + 1], 1))]
+    return out
+
+
+def _field_wb_shapes(dims):
+    out = []
+    for i in range(len(dims) - 1):
+        out += [
+            jax.ShapeDtypeStruct((dims[i], dims[i + 1]), jnp.float32),
+            jax.ShapeDtypeStruct((dims[i + 1], 1), jnp.float32),
+        ]
+    return out
+
+
+def _field_kernel_fwd_entry(spec, x_ref, feat_ref, B_ref, *rest):
+    nb = 2 * (len(spec.base_dims) - 1)
+    nr = 2 * (len(spec.rgb_dims) - 1)
+    base_refs = rest[:nb]
+    rgb_refs = rest[nb:nb + nr]
+    out_ref = rest[nb + nr]
+    _field_fwd_body(spec, x_ref, feat_ref, B_ref, base_refs, rgb_refs, out_ref)
+
+
+def _field_kernel_bwd_entry(spec, x_ref, feat_ref, B_ref, *rest):
+    nb = 2 * (len(spec.base_dims) - 1)
+    nr = 2 * (len(spec.rgb_dims) - 1)
+    base_refs = rest[:nb]
+    rgb_refs = rest[nb:nb + nr]
+    g_ref = rest[nb + nr]
+    dx_ref = rest[nb + nr + 1]
+    dfeat_ref = rest[nb + nr + 2]
+    dbase_refs = rest[nb + nr + 3:nb + nr + 3 + nb]
+    drgb_refs = rest[nb + nr + 3 + nb:]
+    _field_bwd_body(spec, x_ref, feat_ref, B_ref, base_refs, rgb_refs, g_ref,
+                    dx_ref, dfeat_ref, dbase_refs, drgb_refs)
+
+
+def fourier_field_reference(x_t, feats, B, base_ws, base_bs, rgb_ws, rgb_bs,
+                            basis: str = "sincos"):
+    """XLA oracle for the fully-fused field. Returns (4, N): [sigma_raw, rgb]."""
+    proj = jnp.einsum("dh,dn->hn", B, x_t)
+    if basis == "tri":
+        h = jnp.concatenate([tri_s(proj), tri_c(proj)], axis=0)
+    else:
+        h = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=0)
+    for i, (w, b) in enumerate(zip(base_ws, base_bs)):
+        h = jnp.einsum("do,dn->on", w, h) + b[:, None]
+        if i < len(base_ws) - 1:
+            h = jax.nn.relu(h)
+    sigma, geo = h[0:1], h[1:]
+    r = jnp.concatenate([geo, feats], axis=0)
+    for i, (w, b) in enumerate(zip(rgb_ws, rgb_bs)):
+        r = jnp.einsum("do,dn->on", w, r) + b[:, None]
+        if i < len(rgb_ws) - 1:
+            r = jax.nn.relu(r)
+    return jnp.concatenate([sigma, jax.nn.sigmoid(r)], axis=0)
+
+
+def _field_fwd(spec, x_t, feats, B, base_ws, base_bs, rgb_ws, rgb_bs):
+    N = x_t.shape[-1]
+    n_pad = _round_up(max(N, spec.tile), spec.tile)
+    xp = _pad_n(x_t, n_pad)
+    fp = _pad_n(feats, n_pad)
+    grid = (n_pad // spec.tile,)
+    kernel = functools.partial(_field_kernel_fwd_entry, spec)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, spec.tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.feat_dim, spec.tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            _const_spec((3, spec.h_freqs)),
+            *_field_wb_specs(spec.base_dims),
+            *_field_wb_specs(spec.rgb_dims),
+        ],
+        out_specs=pl.BlockSpec((4, spec.tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+        interpret=spec.interpret,
+    )(xp, fp, B, *_field_wb_list(base_ws, base_bs), *_field_wb_list(rgb_ws, rgb_bs))
+    return out[:, :N]
+
+
+def _field_bwd(spec, res, g):
+    x_t, feats, B, base_ws, base_bs, rgb_ws, rgb_bs = res
+    N = x_t.shape[-1]
+    n_pad = _round_up(max(N, spec.tile), spec.tile)
+    xp = _pad_n(x_t, n_pad)
+    fp = _pad_n(feats, n_pad)
+    gp = _pad_n(g, n_pad)
+    grid = (n_pad // spec.tile,)
+    base_shapes = _field_wb_shapes(spec.base_dims)
+    rgb_shapes = _field_wb_shapes(spec.rgb_dims)
+    kernel = functools.partial(_field_kernel_bwd_entry, spec)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, spec.tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.feat_dim, spec.tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            _const_spec((3, spec.h_freqs)),
+            *_field_wb_specs(spec.base_dims),
+            *_field_wb_specs(spec.rgb_dims),
+            pl.BlockSpec((4, spec.tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, spec.tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((spec.feat_dim, spec.tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            *[_const_spec(s.shape) for s in base_shapes],
+            *[_const_spec(s.shape) for s in rgb_shapes],
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((spec.feat_dim, n_pad), jnp.float32),
+            *base_shapes,
+            *rgb_shapes,
+        ],
+        interpret=spec.interpret,
+    )(xp, fp, B, *_field_wb_list(base_ws, base_bs),
+      *_field_wb_list(rgb_ws, rgb_bs), gp)
+
+    dx = outs[0][:, :N]
+    dfeats = outs[1][:, :N]
+    nb = 2 * (len(spec.base_dims) - 1)
+    flat = outs[2:]
+    dbase = flat[:nb]
+    drgb = flat[nb:]
+    d_base_ws = [dbase[2 * i] for i in range(len(spec.base_dims) - 1)]
+    d_base_bs = [dbase[2 * i + 1][:, 0] for i in range(len(spec.base_dims) - 1)]
+    d_rgb_ws = [drgb[2 * i] for i in range(len(spec.rgb_dims) - 1)]
+    d_rgb_bs = [drgb[2 * i + 1][:, 0] for i in range(len(spec.rgb_dims) - 1)]
+    return (dx, dfeats, jnp.zeros_like(B), d_base_ws, d_base_bs, d_rgb_ws, d_rgb_bs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fourier_field_mlp(spec: FusedFieldSpec, x_t, feats, B,
+                      base_ws, base_bs, rgb_ws, rgb_bs):
+    """Fully-fused nerfacto field. x_t (3, N) f32 raw->contracted positions;
+    feats (F, N) per-point conditioning (SH dirs + appearance, broadcast along
+    samples by the caller); returns (4, N) = [sigma_raw, sigmoid rgb]."""
+    return _field_fwd(spec, x_t, feats, B, base_ws, base_bs, rgb_ws, rgb_bs)
+
+
+def _field_vjp_fwd(spec, x_t, feats, B, base_ws, base_bs, rgb_ws, rgb_bs):
+    out = _field_fwd(spec, x_t, feats, B, base_ws, base_bs, rgb_ws, rgb_bs)
+    return out, (x_t, feats, B, list(base_ws), list(base_bs),
+                 list(rgb_ws), list(rgb_bs))
+
+
+fourier_field_mlp.defvjp(_field_vjp_fwd, _field_bwd)

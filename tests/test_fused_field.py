@@ -118,3 +118,90 @@ def test_fused_forward_path_matches_standard_model(monkeypatch):
     flat_f, _ = jax.flatten_util.ravel_pytree(g_fused)
     np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_s),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_fully_fused_field_matches_reference():
+    from nerf_kbs_tpu.ops.fused_field import (
+        FusedFieldSpec,
+        fourier_field_mlp,
+        fourier_field_reference,
+    )
+    from nerf_kbs_tpu.ops.mlp import MLPConfig, mlp_init
+
+    H, G, F = 12, 7, 5
+    base_dims = (2 * H, 16, 1 + G)
+    rgb_dims = (G + F, 16, 16, 3)
+    ks = jax.random.split(jax.random.PRNGKey(4), 5)
+    n = 300
+    x = jax.random.uniform(ks[0], (3, n))
+    feats = jax.random.normal(ks[1], (F, n)) * 0.5
+    B = jax.random.normal(ks[2], (3, H)) * 7.0
+    bp = mlp_init(ks[3], MLPConfig(base_dims[0], 2, 16, base_dims[-1]))
+    rp = mlp_init(ks[4], MLPConfig(rgb_dims[0], 3, 16, 3))
+    spec = FusedFieldSpec(h_freqs=H, feat_dim=F, base_dims=base_dims,
+                          rgb_dims=rgb_dims, tile=256, interpret=True,
+                          bf16=False)
+    got = fourier_field_mlp(spec, x, feats, B, bp["w"], bp["b"], rp["w"], rp["b"])
+    want = fourier_field_reference(x, feats, B, bp["w"], bp["b"], rp["w"], rp["b"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+
+    # gradients vs reference autodiff (f32-exact)
+    g_out = jax.random.normal(jax.random.PRNGKey(5), (4, n))
+
+    def lf(x, feats, bw, bb, rw, rb):
+        return jnp.sum(fourier_field_mlp(spec, x, feats, B, bw, bb, rw, rb) * g_out)
+
+    def lr(x, feats, bw, bb, rw, rb):
+        return jnp.sum(fourier_field_reference(x, feats, B, bw, bb, rw, rb) * g_out)
+
+    gf = jax.grad(lf, argnums=(0, 1, 2, 3, 4, 5))(
+        x, feats, bp["w"], bp["b"], rp["w"], rp["b"])
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3, 4, 5))(
+        x, feats, bp["w"], bp["b"], rp["w"], rp["b"])
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=1e-3)
+
+
+def test_fully_fused_field_tri_basis():
+    from nerf_kbs_tpu.ops.fused_field import (
+        FusedFieldSpec,
+        fourier_field_mlp,
+        fourier_field_reference,
+    )
+    from nerf_kbs_tpu.ops.mlp import MLPConfig, mlp_init
+
+    H, G, F = 8, 3, 4
+    base_dims = (2 * H, 8, 1 + G)
+    rgb_dims = (G + F, 8, 3)
+    ks = jax.random.split(jax.random.PRNGKey(6), 5)
+    n = 200
+    x = jax.random.uniform(ks[0], (3, n))
+    feats = jax.random.normal(ks[1], (F, n)) * 0.5
+    B = jax.random.normal(ks[2], (3, H)) * 5.0
+    bp = mlp_init(ks[3], MLPConfig(base_dims[0], 2, 8, base_dims[-1]))
+    rp = mlp_init(ks[4], MLPConfig(rgb_dims[0], 2, 8, 3))
+    spec = FusedFieldSpec(h_freqs=H, feat_dim=F, base_dims=base_dims,
+                          rgb_dims=rgb_dims, tile=128, interpret=True,
+                          bf16=False, basis="tri")
+    got = fourier_field_mlp(spec, x, feats, B, bp["w"], bp["b"], rp["w"], rp["b"])
+    want = fourier_field_reference(x, feats, B, bp["w"], bp["b"], rp["w"], rp["b"],
+                                   basis="tri")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+    # tri gradient vs XLA autodiff of the reference (exact away from kinks;
+    # finite differences in f32 underflow — the loss delta is below the ulp
+    # of the summed loss)
+    def loss_k(x):
+        return jnp.sum(fourier_field_mlp(spec, x, feats, B, bp["w"], bp["b"],
+                                         rp["w"], rp["b"]))
+
+    def loss_r(x):
+        return jnp.sum(fourier_field_reference(x, feats, B, bp["w"], bp["b"],
+                                               rp["w"], rp["b"], basis="tri"))
+
+    g_k = jax.grad(loss_k)(x)
+    g_r = jax.grad(loss_r)(x)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                               atol=1e-3, rtol=1e-3)
