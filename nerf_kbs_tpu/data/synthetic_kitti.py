@@ -1,0 +1,287 @@
+"""KITTI-scale synthetic street scene, written to disk in the KITTI layout.
+
+Purpose: the reference's operating point is 30k steps on 375x1242 KITTI
+sequences (reference train.py:49,61-62). No real KITTI data exists in this
+environment, so this module generates an analytic street scene — textured
+ground plane, building facades, parked cars, sky — rendered with exact ray
+tracing at full KITTI resolution, and writes the exact on-disk layout the
+KITTI dataparser consumes (data/dataparsers/kitti.py):
+
+    out_dir/calib.txt               P2 projection (KITTI odometry calib)
+    out_dir/<seq>.txt               cam0 poses, 3x4 rows (KITTI odometry)
+    out_dir/<seq>/000000.png        left-color frames
+    out_dir/depth/000000.npy        z-depth in meters (float32)
+    out_dir/sem/000000.png          semantic class-index maps
+    out_dir/mask/000000.png         static-scene validity masks (all white)
+    out_dir/semantics_list.txt      Category,R,G,B CSV
+
+The scene is static (no transients) so PSNR measures pure reconstruction
+quality; textures are deliberately high-frequency (lane markings, facade
+windows) so PSNR is not trivially saturated by low-frequency fits.
+
+All geometry is axis-aligned in the KITTI cam0 convention: x right, y DOWN,
+z forward; the ground plane is y = +CAM_HEIGHT.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+CAM_HEIGHT = 1.65  # meters above ground (KITTI camera mount)
+
+# KITTI odometry cam2 intrinsics (sequence 00 scale)
+FX = 718.856
+FY = 718.856
+CX = 607.1928
+CY = 185.2157
+
+
+@dataclasses.dataclass(frozen=True)
+class Box:
+    lo: np.ndarray  # (3,) min corner, cam0 world axes
+    hi: np.ndarray  # (3,) max corner
+    kind: str  # "building" | "car"
+    base_color: np.ndarray  # (3,)
+
+
+SEMANTIC_CLASSES = ["road", "building", "car", "sky"]
+SEMANTIC_COLORS = np.array(
+    [[128, 64, 128], [70, 70, 70], [0, 0, 142], [70, 130, 180]], np.uint8
+)
+
+
+def make_scene(seed: int = 0, length: float = 120.0) -> list[Box]:
+    """Buildings lining a straight road plus parked cars."""
+    rng = np.random.default_rng(seed)
+    boxes: list[Box] = []
+    for side in (-1.0, 1.0):
+        z = 0.0
+        while z < length:
+            depth = rng.uniform(8.0, 16.0)
+            height = rng.uniform(6.0, 14.0)
+            x0 = side * rng.uniform(7.0, 9.0)
+            width = rng.uniform(3.0, 6.0)
+            lo = np.array(
+                [min(x0, x0 + side * width), CAM_HEIGHT - height, z], np.float64
+            )
+            hi = np.array(
+                [max(x0, x0 + side * width), CAM_HEIGHT, z + depth], np.float64
+            )
+            col = rng.uniform(0.35, 0.75, 3)
+            boxes.append(Box(lo, hi, "building", col))
+            z += depth + rng.uniform(0.0, 3.0)
+    # parked cars: low boxes at the road edges
+    for i in range(10):
+        side = -1.0 if i % 2 == 0 else 1.0
+        z = 6.0 + 11.0 * i
+        x0 = side * 5.2
+        lo = np.array([min(x0, x0 + side * 1.8), CAM_HEIGHT - 1.5, z], np.float64)
+        hi = np.array([max(x0, x0 + side * 1.8), CAM_HEIGHT, z + 4.2], np.float64)
+        col = np.array(
+            [[0.7, 0.1, 0.1], [0.1, 0.2, 0.7], [0.8, 0.8, 0.8], [0.1, 0.5, 0.2],
+             [0.9, 0.6, 0.1]][i % 5],
+            np.float64,
+        )
+        boxes.append(Box(lo, hi, "car", col))
+    return boxes
+
+
+def make_poses(n_frames: int, step: float = 0.8) -> np.ndarray:
+    """(N, 3, 4) cam0->world poses: forward along +z with gentle lateral sway
+    and yaw, like a driving sequence."""
+    poses = []
+    for i in range(n_frames):
+        z = step * i
+        x = 0.35 * np.sin(0.05 * z)
+        yaw = 0.018 * np.cos(0.05 * z)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+        t = np.array([x, 0.0, z])
+        poses.append(np.concatenate([R, t[:, None]], axis=1))
+    return np.stack(poses)
+
+
+# ---------------------------------------------------------------------------
+# procedural textures (vectorized over flat point arrays)
+# ---------------------------------------------------------------------------
+
+
+def _road_color(p: np.ndarray) -> np.ndarray:
+    """Asphalt with dashed center line + solid edge lines + coarse mottling."""
+    x, z = p[:, 0], p[:, 2]
+    base = 0.22 + 0.05 * np.sin(2.1 * x) * np.sin(1.7 * z) + 0.03 * np.sin(
+        7.3 * x + 3.1 * z
+    )
+    col = np.stack([base, base, base], axis=1)
+    dash = (np.abs(x) < 0.12) & (np.mod(z, 6.0) < 3.0)
+    edge = (np.abs(np.abs(x) - 4.6) < 0.12)
+    col[dash] = [0.85, 0.85, 0.75]
+    col[edge] = [0.8, 0.8, 0.8]
+    # sidewalk strip beyond the edge lines
+    walk = np.abs(x) > 4.9
+    g = 0.45 + 0.08 * np.sin(3.0 * x[walk]) * np.sin(3.0 * z[walk])
+    col[walk] = np.stack([g, g, g * 0.95], axis=1)
+    return col
+
+
+def _building_color(p: np.ndarray, box: Box) -> np.ndarray:
+    """Facade with window grid: dark rectangles on the base color."""
+    y, z = p[:, 1], p[:, 2]
+    u = z - box.lo[2]
+    v = box.hi[1] - y  # height above ground
+    win = (np.mod(u, 2.4) < 1.4) & (np.mod(v, 2.8) > 1.1) & (
+        np.mod(v, 2.8) < 2.3
+    ) & (v > 0.8)
+    col = np.broadcast_to(box.base_color, (p.shape[0], 3)).copy()
+    shade = 0.75 + 0.25 * np.sin(1.3 * u) * np.sin(0.9 * v)
+    col *= shade[:, None]
+    col[win] = [0.08, 0.1, 0.14]
+    return col
+
+
+def _car_color(p: np.ndarray, box: Box) -> np.ndarray:
+    y = p[:, 1]
+    col = np.broadcast_to(box.base_color, (p.shape[0], 3)).copy()
+    v = box.hi[1] - y
+    col[v > 0.9] = [0.15, 0.16, 0.2]  # window band
+    col[v < 0.25] *= 0.4  # skirt
+    return col
+
+
+def _sky_color(d: np.ndarray) -> np.ndarray:
+    """Gradient by elevation (-y up)."""
+    up = np.clip(-d[:, 1], 0.0, 1.0)
+    top = np.array([0.35, 0.55, 0.85])
+    hor = np.array([0.78, 0.84, 0.9])
+    return hor[None, :] + (top - hor)[None, :] * up[:, None] ** 0.7
+
+
+# ---------------------------------------------------------------------------
+# exact ray tracing
+# ---------------------------------------------------------------------------
+
+
+def trace(origins: np.ndarray, dirs: np.ndarray, boxes: list[Box]):
+    """Nearest-hit trace. origins/dirs (N, 3) in cam0 world axes (y down).
+    Returns rgb (N, 3), z-depth along the ray (N,), semantic ids (N,)."""
+    n = origins.shape[0]
+    best_t = np.full(n, np.inf)
+    rgb = _sky_color(dirs)
+    sem = np.full(n, SEMANTIC_CLASSES.index("sky"), np.int32)
+
+    # ground plane y = CAM_HEIGHT
+    dy = dirs[:, 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_pl = (CAM_HEIGHT - origins[:, 1]) / dy
+    hit = (dy > 1e-9) & (t_pl > 1e-6)
+    if hit.any():
+        p = origins[hit] + dirs[hit] * t_pl[hit, None]
+        best_t[hit] = t_pl[hit]
+        rgb[hit] = _road_color(p)
+        sem[hit] = SEMANTIC_CLASSES.index("road")
+
+    inv = np.where(np.abs(dirs) > 1e-12, 1.0 / dirs, np.inf)
+    for box in boxes:
+        t0 = (box.lo[None, :] - origins) * inv
+        t1 = (box.hi[None, :] - origins) * inv
+        tmin = np.minimum(t0, t1).max(axis=1)
+        tmax = np.maximum(t0, t1).min(axis=1)
+        hit = (tmax > np.maximum(tmin, 1e-6)) & (tmin < best_t) & (tmin > 1e-6)
+        if not hit.any():
+            continue
+        p = origins[hit] + dirs[hit] * tmin[hit, None]
+        best_t[hit] = tmin[hit]
+        if box.kind == "building":
+            rgb[hit] = _building_color(p, box)
+            sem[hit] = SEMANTIC_CLASSES.index("building")
+        else:
+            rgb[hit] = _car_color(p, box)
+            sem[hit] = SEMANTIC_CLASSES.index("car")
+
+    depth = np.where(np.isfinite(best_t), best_t, 0.0)
+    # simple distance haze so far geometry stays learnable-smooth
+    haze = np.clip(depth / 160.0, 0.0, 0.55)[:, None]
+    sky_mask = sem == SEMANTIC_CLASSES.index("sky")
+    rgb = np.where(sky_mask[:, None], rgb, rgb * (1 - haze) + haze * 0.8)
+    return np.clip(rgb, 0.0, 1.0), depth, sem
+
+
+def render_frame(pose: np.ndarray, boxes: list[Box], h: int, w: int,
+                 fx: float = FX, fy: float = FY,
+                 cx: float | None = None, cy: float | None = None):
+    """Render one frame. pose (3, 4) cam0->world. Returns (rgb, depth, sem)."""
+    cx = CX * w / 1242.0 if cx is None else cx
+    cy = CY * h / 375.0 if cy is None else cy
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    d_cam = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1
+    ).reshape(-1, 3)
+    d_world = d_cam @ pose[:3, :3].T
+    norm = np.linalg.norm(d_world, axis=1, keepdims=True)
+    o = np.broadcast_to(pose[:3, 3], d_world.shape)
+    rgb, t_ray, sem = trace(o, d_world / norm, boxes)
+    # d_cam has z-component 1, so camera z-depth = t_along_unit_dir / |d_cam|
+    zdepth = t_ray / norm[:, 0]
+    return (
+        rgb.reshape(h, w, 3),
+        zdepth.reshape(h, w).astype(np.float32),
+        sem.reshape(h, w).astype(np.int32),
+    )
+
+
+def write_dataset(out_dir: str | Path, n_frames: int = 40, h: int = 375,
+                  w: int = 1242, seed: int = 0, fx: float | None = None,
+                  fy: float | None = None, step: float = 0.8) -> Path:
+    """Generate and write the full KITTI-layout dataset. Returns out_dir."""
+    from PIL import Image
+
+    out = Path(out_dir)
+    seq = "00"
+    (out / seq).mkdir(parents=True, exist_ok=True)
+    (out / "depth").mkdir(exist_ok=True)
+    (out / "sem").mkdir(exist_ok=True)
+    (out / "mask").mkdir(exist_ok=True)
+
+    sx = w / 1242.0
+    sy = h / 375.0
+    fx = FX * sx if fx is None else fx
+    fy = FY * sy if fy is None else fy
+    cx = CX * sx
+    cy = CY * sy
+
+    # calib.txt: P2 row (KITTI odometry format)
+    p2 = np.zeros((3, 4))
+    p2[0, 0], p2[1, 1], p2[0, 2], p2[1, 2], p2[2, 2] = fx, fy, cx, cy, 1.0
+    lines = []
+    for name in ("P0", "P1", "P2", "P3"):
+        lines.append(name + ": " + " ".join(f"{v:.12e}" for v in p2.reshape(-1)))
+    (out / "calib.txt").write_text("\n".join(lines) + "\n")
+
+    boxes = make_scene(seed=seed, length=n_frames * step + 90.0)
+    poses = make_poses(n_frames, step=step)
+    with open(out / f"{seq}.txt", "w") as f:
+        for p in poses:
+            f.write(" ".join(f"{v:.12e}" for v in p.reshape(-1)) + "\n")
+
+    for i, pose in enumerate(poses):
+        rgb, depth, sem = render_frame(pose, boxes, h, w, fx, fy, cx, cy)
+        Image.fromarray((rgb * 255).astype(np.uint8)).save(
+            out / seq / f"{i:06}.png"
+        )
+        np.save(out / "depth" / f"{i:06}.npy", depth)
+        Image.fromarray(sem.astype(np.uint8), mode="L").save(
+            out / "sem" / f"{i:06}.png"
+        )
+        Image.fromarray(np.full((h, w), 255, np.uint8), mode="L").save(
+            out / "mask" / f"{i:06}.png"
+        )
+
+    rows = ["Category,R,G,B"] + [
+        f"{c},{r},{g},{b}"
+        for c, (r, g, b) in zip(SEMANTIC_CLASSES, SEMANTIC_COLORS)
+    ]
+    (out / "semantics_list.txt").write_text("\n".join(rows) + "\n")
+    return out

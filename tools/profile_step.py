@@ -145,9 +145,57 @@ def main():
 
     scan_time(pdf_body, jnp.float32(0.0), "one pdf_sampler round (256->96)")
 
+    # 2d) fused coordinate-major proposal density (what forward actually runs
+    # on TPU), sincos vs tri basis
+    from nerf_kbs_tpu.models.fields import density_field_apply_t
+
+    pos_p_t = us.positions_t(rays0)
+
+    def dens_t_body(carry):
+        d = density_field_apply_t(
+            params["proposal_networks"][0], cfg.proposal_field(0),
+            pos_p_t + carry * 1e-6,
+        )
+        return jnp.mean(d)
+
+    scan_time(dens_t_body, jnp.float32(0.0),
+              f"FUSED prop density ({cfg.num_proposal_samples_per_ray[0]} samp, "
+              f"basis={cfg.proposal_field(0).fourier.basis})")
+
+    # 2e) fused prop density fwd+bwd (full weight grads)
+    def dens_t_grad_body(carry):
+        def f(p):
+            return jnp.sum(
+                density_field_apply_t(
+                    p, cfg.proposal_field(0), pos_p_t + carry * 1e-6
+                )
+            )
+
+        v, g = jax.value_and_grad(f)(params["proposal_networks"][0])
+        return v * 1e-9 + ravel_pytree(g)[0].sum() * 1e-12
+
+    from jax.flatten_util import ravel_pytree
+
+    scan_time(dens_t_grad_body, jnp.float32(0.0), "FUSED prop density fwd+bwd")
+
     # 3) final field eval
     fs = uniform_sampler(rays0, cfg.num_nerf_samples_per_ray, "piecewise", key=key)
     pos_f = fs.positions(rays0)
+
+    # 3b) fused final field (coordinate-major, what forward runs on TPU)
+    from nerf_kbs_tpu.models.fields import nerfacto_field_apply_t
+
+    pos_f_t = fs.positions_t(rays0)
+
+    def field_t_body(carry):
+        out = nerfacto_field_apply_t(
+            params["fields"], cfg.field, pos_f_t + carry * 1e-6,
+            rays0.directions, batch["ray_indices"][:, :1], train=True,
+        )
+        return jnp.mean(out["rgb_t"]) + jnp.mean(out["density"])
+
+    scan_time(field_t_body, jnp.float32(0.0),
+              f"FUSED final field ({cfg.num_nerf_samples_per_ray} samp)")
 
     def field_body(carry):
         out = nerfacto_field_apply(
@@ -166,7 +214,11 @@ def main():
 
     scan_time(fwd_body, jnp.float32(0.0), "full forward")
 
-    # 5) full forward + backward + loss
+    # 5) full forward + backward + loss. The carry must consume EVERY grad
+    # leaf, otherwise XLA dead-code-eliminates the per-layer weight-grad
+    # matmuls and the number lies (~2x too fast, measured).
+    from jax.flatten_util import ravel_pytree
+
     def fwdbwd_body(carry):
         def loss_fn(p):
             rays = perturb_rays(rays0, carry * 1e-6)
@@ -174,10 +226,72 @@ def main():
             return nerfacto.loss(cfg, out, batch, train=True)[0]
 
         l, g = jax.value_and_grad(loss_fn)(params)
-        return l + jax.tree.leaves(g)[0].ravel()[0] * 0.0
+        return l + ravel_pytree(g)[0].sum() * 1e-12
 
-    dt = scan_time(fwdbwd_body, jnp.float32(0.0), "full fwd+bwd+loss")
+    dt = scan_time(fwdbwd_body, jnp.float32(0.0), "full fwd+bwd+loss (all grads)")
     print(f"\n=> {B / dt:,.0f} rays/s (fwd+bwd, no optimizer)")
+
+    # 6) full train step: fwd+bwd+loss + grad clip + partitioned adam
+    import optax
+
+    from nerf_kbs_tpu.engine.optimizers import OptimizerConfig, build_optimizer
+
+    optimizer = build_optimizer(
+        {
+            "fields": OptimizerConfig(lr=1e-3, max_norm=1.0),
+            "proposal_networks": OptimizerConfig(lr=1e-3, max_norm=1.0),
+            "camera_opt": OptimizerConfig(lr=1e-4),
+        },
+        params,
+    )
+    opt_state0 = optimizer.init(params)
+
+    def step_body(carry):
+        p, s, t = carry
+
+        def loss_fn(p):
+            rays = perturb_rays(rays0, t * 1e-9)
+            out = nerfacto.forward(p, cfg, rays, key=key, step=t, train=True)
+            return nerfacto.loss(cfg, out, batch, train=True)[0]
+
+        _, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = optimizer.update(g, s, p)
+        return (optax.apply_updates(p, updates), s, t + 1.0)
+
+    dt = scan_time(step_body, (params, opt_state0, jnp.float32(500.0)),
+                   "full train step (+clip+adam)")
+    print(f"=> {B / dt:,.0f} rays/s (full train step)")
+
+    # 7) flat train step: params as one raveled vector, FlatOptimizer
+    from nerf_kbs_tpu.engine.optimizers import FlatOptimizer
+
+    fo = FlatOptimizer(
+        {
+            "fields": OptimizerConfig(lr=1e-3, max_norm=1.0),
+            "proposal_networks": OptimizerConfig(lr=1e-3, max_norm=1.0),
+            "camera_opt": OptimizerConfig(lr=1e-4),
+        },
+        params,
+    )
+    flat0 = fo.flatten(params)
+    fstate0 = fo.init(flat0)
+
+    def flat_step_body(carry):
+        flat, s, t = carry
+
+        def loss_fn(flat):
+            p = fo.unflatten(flat)
+            rays = perturb_rays(rays0, t * 1e-9)
+            out = nerfacto.forward(p, cfg, rays, key=key, step=t, train=True)
+            return nerfacto.loss(cfg, out, batch, train=True)[0]
+
+        _, g = jax.value_and_grad(loss_fn)(flat)
+        upd, s = fo.update(g, s, flat)
+        return (flat + upd, s, t + 1.0)
+
+    dt = scan_time(flat_step_body, (flat0, fstate0, jnp.float32(500.0)),
+                   "FLAT train step (+clip+adam)")
+    print(f"=> {B / dt:,.0f} rays/s (flat train step)")
 
 
 if __name__ == "__main__":
