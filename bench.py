@@ -41,6 +41,11 @@ def bench_method(field_type: str, batch_size: int, steps: int, on_tpu: bool) -> 
         field_type=field_type,
         hidden_dim=128 if field_type == "fourier" else 64,
         compute_dtype="bfloat16" if on_tpu else "float32",
+        # flagship operating point (methods.nerfacto_tpu_method): triangle
+        # basis — measured better PSNR AND throughput than sincos
+        fourier_basis="tri" if field_type == "fourier" else "sincos",
+        max_res=64 if field_type == "fourier" else 2048,
+        base_res=4 if field_type == "fourier" else 16,
     )
     params = nerfacto.init(jax.random.PRNGKey(0), cfg)
     optimizer = build_optimizer(

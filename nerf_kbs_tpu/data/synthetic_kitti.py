@@ -272,9 +272,10 @@ def write_dataset(out_dir: str | Path, n_frames: int = 40, h: int = 375,
             out / seq / f"{i:06}.png"
         )
         np.save(out / "depth" / f"{i:06}.npy", depth)
-        Image.fromarray(sem.astype(np.uint8), mode="L").save(
-            out / "sem" / f"{i:06}.png"
-        )
+        # semantic maps are COLOR images (the datamanager maps colors back to
+        # class ids by nearest palette color, as the reference does for
+        # KITTI-STEP annotations)
+        Image.fromarray(SEMANTIC_COLORS[sem]).save(out / "sem" / f"{i:06}.png")
         Image.fromarray(np.full((h, w), 255, np.uint8), mode="L").save(
             out / "mask" / f"{i:06}.png"
         )

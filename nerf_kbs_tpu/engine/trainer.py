@@ -65,6 +65,12 @@ class TrainerConfig:
     # reference eval dict — when True, a missing local VGG checkpoint is a
     # hard error instead of a silently absent metric
     require_lpips: bool = False
+    # steps executed inside ONE jitted lax.scan dispatch: host->chip dispatch
+    # through the remote tunnel costs ~15 ms, which dominates a ~7 ms train
+    # step at 4096 rays. K batches are pre-sampled, stacked and shipped once;
+    # eval/save cadences are honored between dispatches (they effectively
+    # round up to a multiple of K). 1 = reference-style per-step dispatch.
+    steps_per_dispatch: int = 1
 
 
 class Trainer:
@@ -104,6 +110,7 @@ class Trainer:
         self._base_key = jax.random.PRNGKey(config.seed + 1)
 
         self._train_step = self._build_train_step()
+        self._scan_step = None  # built lazily when steps_per_dispatch > 1
         self._render_chunk = self._build_render_chunk()
         self._lpips = None
         self._lpips_checked = False
@@ -134,6 +141,43 @@ class Trainer:
 
         return jax.jit(train_step, donate_argnums=(0, 1))
 
+    def _build_scan_step(self) -> Callable:
+        """K train steps inside one jitted lax.scan over a stacked (K, B, ...)
+        batch pytree — one host->chip dispatch per K steps (the tunnel's
+        ~15 ms dispatch otherwise dominates small-batch steps). Returns the
+        final params/opt_state and the LAST step's metrics."""
+        model, mcfg, optimizer = self.model, self.model_config, self.optimizer
+        import optax
+
+        def scan_steps(params, opt_state, cameras, batches, base_key, step0,
+                       step0_int):
+            def body(carry, sb):
+                params, opt_state, step = carry
+                batch, i = sb
+                # same key stream as the per-step path: fold(base, step_int)
+                key = jax.random.fold_in(base_key, step0_int + i)
+
+                def loss_fn(p):
+                    delta = getattr(model, "camera_deltas", lambda _p: None)(p)
+                    rays = generate_rays(cameras, batch["ray_indices"], c2w_delta=delta)
+                    out = model.forward(p, mcfg, rays, key=key, step=step, train=True)
+                    return model.loss(mcfg, out, batch, train=True)
+
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                metrics["total_loss"] = loss
+                return (params, opt_state, step + 1.0), metrics
+
+            K = jax.tree.leaves(batches)[0].shape[0]
+            (params, opt_state, _), metrics = jax.lax.scan(
+                body, (params, opt_state, step0),
+                (batches, jnp.arange(K, dtype=jnp.int32)),
+            )
+            return params, opt_state, jax.tree.map(lambda m: m[-1], metrics)
+
+        return jax.jit(scan_steps, donate_argnums=(0, 1))
+
     def _build_render_chunk(self) -> Callable:
         model, mcfg = self.model, self.model_config
 
@@ -157,15 +201,41 @@ class Trainer:
         rays_done = 0
         last_metrics: dict = {}
         while self.step < end:
-            batch = self.dm.next_train(self.step)
-            batch = shard_batch(self.mesh, batch)
-            key = jax.random.fold_in(self._base_key, self.step)
-            self.params, self.opt_state, metrics = self._train_step(
-                self.params, self.opt_state, self.train_cameras, batch,
-                key, jnp.asarray(self.step, jnp.float32),
-            )
-            rays_done += batch["ray_indices"].shape[0]
-            self.step += 1
+            K = min(cfg.steps_per_dispatch, end - self.step)
+            if K > 1:
+                # land exactly on the next cadence boundary so eval/save/log
+                # schedules are honored
+                for cad in (cfg.log_every, cfg.steps_per_eval_image,
+                            cfg.steps_per_eval_all_images, cfg.steps_per_save):
+                    nxt = (self.step // cad + 1) * cad
+                    K = min(K, nxt - self.step)
+            if K > 1:
+                from nerf_kbs_tpu.parallel.mesh import shard_batch_stack
+
+                if self._scan_step is None:
+                    self._scan_step = self._build_scan_step()
+                batches = [self.dm.next_train(self.step + i) for i in range(K)]
+                stacked = {
+                    k: np.stack([b[k] for b in batches]) for k in batches[0]
+                }
+                stacked = shard_batch_stack(self.mesh, stacked)
+                self.params, self.opt_state, metrics = self._scan_step(
+                    self.params, self.opt_state, self.train_cameras, stacked,
+                    self._base_key, jnp.asarray(self.step, jnp.float32),
+                    jnp.asarray(self.step, jnp.int32),
+                )
+                rays_done += sum(b["ray_indices"].shape[0] for b in batches)
+                self.step += K
+            else:
+                batch = self.dm.next_train(self.step)
+                batch = shard_batch(self.mesh, batch)
+                key = jax.random.fold_in(self._base_key, self.step)
+                self.params, self.opt_state, metrics = self._train_step(
+                    self.params, self.opt_state, self.train_cameras, batch,
+                    key, jnp.asarray(self.step, jnp.float32),
+                )
+                rays_done += batch["ray_indices"].shape[0]
+                self.step += 1
 
             if self.step % cfg.log_every == 0 or self.step == end:
                 metrics = {k: float(v) for k, v in metrics.items()}

@@ -171,6 +171,12 @@ def nerfacto_tpu_method() -> MethodSpec:
         base_res=4,
         max_res=256,
         fourier_anneal_steps=5000,
+        # triangle-wave quadrature basis: piecewise-linear features are the
+        # same C0 smoothness class as hash-grid trilinear interpolation and
+        # sidestep the v5e transcendental wall (~5e10 sin/s). Measured on the
+        # synthetic scene @3k steps: 28.16 eval PSNR at 619k rays/s vs 27.76
+        # at 360k for sincos — better on BOTH axes.
+        fourier_basis="tri",
     )
     # lr 1e-3 (reference optimizer point) is stable for the fourier field;
     # global-norm clipping guards the early high-frequency phase (lr >= 1e-2

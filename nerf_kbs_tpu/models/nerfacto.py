@@ -55,6 +55,11 @@ class NerfactoConfig:
     fourier_num_levels: int = 8
     fourier_features_per_level: int = 32
     fourier_basis: str = "sincos"  # 'sincos' | 'tri' (see ops/fused_field.py)
+    # proposal fields default to the triangle basis: they only PLACE samples
+    # (their density is trained to match the main field via the interlevel
+    # loss), and sin/cos there is ~84% of the step's transcendental volume —
+    # the v5e VPU transcendental rate (~5e10/s) is the fourier field's wall
+    proposal_fourier_basis: str = "tri"
     proposal_fourier_features_per_level: int = 16
     cp_features_per_level: int = 16
     proposal_cp_features_per_level: int = 8
@@ -169,7 +174,7 @@ class NerfactoConfig:
                 features_per_level=self.proposal_fourier_features_per_level,
                 base_resolution=16,
                 max_resolution=self.proposal_max_res[i],
-                basis=self.fourier_basis,
+                basis=self.proposal_fourier_basis,
             ),
             cp=CPEncodingConfig(
                 num_levels=self.proposal_num_levels,

@@ -49,8 +49,12 @@ def ssim(
         # (H, W, C) -> depthwise conv
         x = jnp.transpose(img, (2, 0, 1))[:, None]  # (C, 1, H, W)
         k = jnp.transpose(kern, (2, 3, 0, 1))  # (1, 1, kh, kw)
+        # HIGHEST precision: TPU convs default to bf16 multiplies, and the
+        # variance terms (mu_pp - mu_p^2) cancel catastrophically in bf16 —
+        # measured SSIM of 2.3 (impossible; SSIM <= 1) on a real eval render
         out = jax.lax.conv_general_dilated(
-            x, k, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+            x, k, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
         )
         return jnp.transpose(out[:, 0], (1, 2, 0))
 

@@ -195,6 +195,12 @@ def pdf_sampler(
     # non-negative, so "value at rightmost index with cdf <= u" is a masked
     # max and "value at the next index" a masked min. One (R, S+1, Q) mask,
     # four fused VPU reductions.
+    #
+    # Measured round 2: XLA fully fuses this (no HBM spill) and runs at the
+    # VPU element-op wall (~4.3 ms for 16k x 257 x 97 fwd on v5e). A Pallas
+    # staircase-accumulation kernel of the same math was 10x SLOWER (fori
+    # overhead dominates its tiny per-iteration work) — don't re-attempt
+    # without an ALGORITHMIC S*Q reduction; shrink sample counts instead.
     mask = cdf[:, :, None] <= u[:, None, :]  # (R, S_old+1, Q)
     big = jnp.float32(1e10)
     cdf_lo = jnp.max(jnp.where(mask, cdf[:, :, None], -big), axis=1)

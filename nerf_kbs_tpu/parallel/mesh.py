@@ -59,6 +59,23 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree.map(put, tree)
 
 
+def shard_batch_stack(mesh: Mesh, tree):
+    """Device-put a (K, B, ...) stacked batch pytree with the SECOND axis
+    (rays) sharded over the mesh — the layout consumed by the scanned
+    multi-step train dispatch (scan iterates the leading K axis)."""
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    n = mesh.devices.size
+
+    def put(x):
+        if x.shape[1] % n != 0:
+            raise ValueError(
+                f"ray dim {x.shape[1]} not divisible by mesh size {n}"
+            )
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, tree)
+
+
 def replicate(mesh: Mesh, tree):
     """Device-put a pytree fully replicated on the mesh (params, cameras)."""
     sh = replicated_sharding(mesh)

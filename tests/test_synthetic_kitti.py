@@ -59,9 +59,14 @@ def test_depth_consistent_with_reprojection(dataset):
 def test_semantics_cover_all_classes(dataset):
     from PIL import Image
 
+    from nerf_kbs_tpu.data.synthetic_kitti import SEMANTIC_COLORS
+
     sem = np.asarray(Image.open(dataset / "sem" / "000000.png"))
-    assert set(np.unique(sem)) <= set(range(len(SEMANTIC_CLASSES)))
-    assert len(np.unique(sem)) >= 3
+    assert sem.ndim == 3 and sem.shape[2] == 3  # color semantic map
+    palette = {tuple(c) for c in SEMANTIC_COLORS}
+    seen = {tuple(c) for c in sem.reshape(-1, 3)}
+    assert seen <= palette
+    assert len(seen) >= 3
 
 
 def test_forward_motion(dataset):

@@ -145,3 +145,26 @@ def test_render_trajectory(tmp_path):
     assert len(written) == 2  # 2 eval cameras -> 1 segment + final
     assert (tmp_path / "renders" / "rgb_00000.png").exists()
     assert (tmp_path / "renders" / "depth_00000.png").exists()
+
+
+def test_scanned_dispatch_matches_per_step(tmp_path):
+    """steps_per_dispatch > 1 must produce the same parameters as per-step
+    dispatch (same data, same key stream, same optimizer trajectory)."""
+    from jax.flatten_util import ravel_pytree
+
+    t1 = make_trainer(tmp_path / "a")
+    t1.train(num_iterations=8)
+    t2 = make_trainer(tmp_path / "b", steps_per_dispatch=4)
+    t2.train(num_iterations=8)
+    f1 = np.asarray(ravel_pytree(t1.params)[0])
+    f2 = np.asarray(ravel_pytree(t2.params)[0])
+    assert t2.step == 8
+    np.testing.assert_allclose(f1, f2, atol=1e-5, rtol=1e-4)
+
+
+def test_scanned_dispatch_honors_cadence(tmp_path):
+    """A dispatch never skips an eval/save boundary: with log_every=50 and
+    steps_per_dispatch=64, the first dispatch is clipped to 50 steps."""
+    t = make_trainer(tmp_path, steps_per_dispatch=64)
+    t.train(num_iterations=50)
+    assert t.step == 50
