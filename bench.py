@@ -42,10 +42,14 @@ def bench_method(field_type: str, batch_size: int, steps: int, on_tpu: bool) -> 
         hidden_dim=128 if field_type == "fourier" else 64,
         compute_dtype="bfloat16" if on_tpu else "float32",
         # flagship operating point (methods.nerfacto_tpu_method): triangle
-        # basis — measured better PSNR AND throughput than sincos
+        # basis + halved proposal budget — measured better PSNR AND
+        # throughput than sincos (PARITY.md study table)
         fourier_basis="tri" if field_type == "fourier" else "sincos",
         max_res=64 if field_type == "fourier" else 2048,
         base_res=4 if field_type == "fourier" else 16,
+        num_proposal_samples_per_ray=(128, 48)
+        if field_type == "fourier"
+        else (256, 96),
     )
     params = nerfacto.init(jax.random.PRNGKey(0), cfg)
     optimizer = build_optimizer(
@@ -124,7 +128,10 @@ def main() -> None:
     import jax
 
     on_tpu = jax.default_backend() != "cpu"
-    batch = 4096 if on_tpu else 128
+    # 16k-ray batches: throughput is ray-bound (not fixed-cost-bound) from
+    # 4k up, and the 16k operating point is quality-validated (30.97 eval
+    # PSNR @3k steps on the synthetic study, PARITY.md)
+    batch = 16384 if on_tpu else 128
     steps = 50 if on_tpu else 2
 
     tpu_rate = bench_method("fourier", batch, steps, on_tpu)
@@ -139,7 +146,9 @@ def main() -> None:
         )
     )
     try:
-        hash_rate = bench_method("hash", batch, max(steps // 5, 2), on_tpu)
+        # the gather-bound hash path keeps its original 4096-ray batch: at
+        # 16k rays the 5.8M-point per-corner gather trips a libtpu fault
+        hash_rate = bench_method("hash", min(batch, 4096), max(steps // 5, 2), on_tpu)
         print(f"# hash-grid parity path: {hash_rate:.1f} rays/sec")
     except Exception as e:  # parity path must not break the headline metric
         print(f"# hash-grid parity path failed: {type(e).__name__}: {e}")

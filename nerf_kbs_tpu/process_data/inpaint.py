@@ -117,13 +117,16 @@ def inpaint_video(
     return np.clip(out, 0.0, 1.0)
 
 
-def run(cfg: InpaintDriverConfig) -> list[str]:
-    """Full driver: load, inpaint, write fill_img/rgb_%05d.jpg."""
+def run(cfg: InpaintDriverConfig, variables=None) -> list[str]:
+    """Full driver: load, inpaint, write fill_img/rgb_%05d.jpg. ``variables``
+    are trained generator weights (tools/validate_inpaint.py); None falls
+    back to a fresh init (useful only for plumbing tests)."""
     from PIL import Image
 
     frames, masks, _names = load_frames_and_masks(cfg)
     out = inpaint_video(
-        frames, masks, neighbor_stride=cfg.neighbor_stride, window=cfg.window,
+        frames, masks, variables=variables,
+        neighbor_stride=cfg.neighbor_stride, window=cfg.window,
         seed=cfg.seed,
     )
     outdir = Path(cfg.output_dir)

@@ -1,0 +1,171 @@
+"""Quantified inpainting validation (VERDICT round-1 item 7).
+
+The reference scrubs dynamic objects by running E2FGVI-HQ with public
+weights (/root/reference/process_data/inpaint.py:56-145). That checkpoint
+cannot be fetched here (zero egress), so the repo ships a redesigned flax
+generator plus a self-supervised trainer; THIS tool proves the capability
+end-to-end with numbers:
+
+1. renders a clip from the synthetic street scene (exact ray-traced GT);
+2. trains the InpaintGenerator self-supervised (random stroke masks over
+   complete frames, L1 with 4x hole weight — process_data/inpaint.py:144);
+3. evaluates masked-region PSNR on HELD-OUT frames with fresh masks, against
+   two baselines: the untrained generator and a constant-gray fill;
+4. runs the full sliding-window driver (process_data/inpaint.run) on the
+   held-out clip and writes fill_img/ composites.
+
+Usage: python tools/validate_inpaint.py --steps 800 --size 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def masked_psnr(pred, gt, mask):
+    import numpy as np
+
+    m = mask[..., None]
+    mse = float((((pred - gt) ** 2) * m).sum() / max(m.sum() * 3, 1.0))
+    return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--size", type=int, default=128, help="square working size")
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--window", type=int, default=6)
+    ap.add_argument("--out", default="outputs/inpaint_validation")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_kbs_tpu.data.synthetic_kitti import make_poses, make_scene, render_frame
+    from nerf_kbs_tpu.process_data.inpaint import (
+        make_inpaint_train_step,
+        random_stroke_masks,
+    )
+    from nerf_kbs_tpu.process_data.networks.inpaint_net import (
+        InpaintConfig,
+        InpaintGenerator,
+    )
+
+    h = w = args.size
+    print(f"rendering {args.frames} frames at {h}x{w} ...", flush=True)
+    boxes = make_scene(0, args.frames * 0.8 + 90.0)
+    poses = make_poses(args.frames, step=0.8)
+    clip = np.stack(
+        [render_frame(p, boxes, h, w)[0] for p in poses]
+    ).astype(np.float32)
+    n_train = min(args.frames * 3 // 4, args.frames - args.window)
+    train_clip = jnp.asarray(clip[:n_train])
+    eval_clip = jnp.asarray(clip[n_train:])
+
+    gen = InpaintGenerator(InpaintConfig())
+    key = jax.random.PRNGKey(0)
+    T = args.window
+    m0 = random_stroke_masks(jax.random.fold_in(key, 999), T, h, w)
+    variables = gen.init(key, train_clip[None, :T], m0[None])
+    init_opt, step_fn = make_inpaint_train_step(gen)
+    opt_state = init_opt(variables)
+
+    # held-out eval windows + fresh masks, fixed across checkpoints
+    ek = jax.random.fold_in(key, 7777)
+    eval_masks = random_stroke_masks(ek, eval_clip.shape[0], h, w)
+
+    def eval_masked_psnr(variables):
+        outs = []
+        for s in range(0, eval_clip.shape[0] - T + 1, T):
+            fr = eval_clip[s : s + T]
+            mk = eval_masks[s : s + T]
+            # the generator masks internally (inpaint_net: frames*(1-holes))
+            pred = gen.apply(variables, fr[None], mk[None])[0]
+            comp = pred * mk[..., None] + fr * (1.0 - mk[..., None])
+            outs.append(masked_psnr(np.asarray(comp), np.asarray(fr), np.asarray(mk)))
+        return float(np.mean(outs))
+
+    base_gray = []
+    for s in range(0, eval_clip.shape[0] - T + 1, T):
+        fr = np.asarray(eval_clip[s : s + T])
+        mk = np.asarray(eval_masks[s : s + T])
+        comp = np.where(mk[..., None] > 0, 0.5, fr)
+        base_gray.append(masked_psnr(comp, fr, mk))
+    baseline_gray = float(np.mean(base_gray))
+    baseline_untrained = eval_masked_psnr(variables)
+
+    print(f"baseline gray-fill masked PSNR:   {baseline_gray:.2f}", flush=True)
+    print(f"baseline untrained generator:     {baseline_untrained:.2f}", flush=True)
+
+    t0 = time.time()
+    for i in range(args.steps):
+        k = jax.random.fold_in(key, i)
+        s = int(jax.random.randint(jax.random.fold_in(k, 1), (), 0, n_train - T))
+        fr = train_clip[s : s + T]
+        mk = random_stroke_masks(jax.random.fold_in(k, 2), T, h, w)
+        variables, opt_state, loss = step_fn(
+            variables, opt_state, fr[None], mk[None]
+        )
+        if (i + 1) % 100 == 0:
+            print(
+                f"step {i+1}: loss={float(loss):.4f} "
+                f"eval_masked_psnr={eval_masked_psnr(variables):.2f} "
+                f"({time.time()-t0:.0f}s)",
+                flush=True,
+            )
+
+    final = eval_masked_psnr(variables)
+    result = {
+        "masked_psnr_trained": final,
+        "masked_psnr_untrained": baseline_untrained,
+        "masked_psnr_gray_fill": baseline_gray,
+        "steps": args.steps,
+        "frames": args.frames,
+        "size": args.size,
+    }
+
+    # full driver pass: write frames+masks to disk, run sliding-window driver
+    from pathlib import Path
+
+    from PIL import Image
+
+    from nerf_kbs_tpu.process_data.inpaint import InpaintDriverConfig, run
+
+    out = Path(args.out)
+    (out / "images").mkdir(parents=True, exist_ok=True)
+    (out / "masks").mkdir(exist_ok=True)
+    for i in range(eval_clip.shape[0]):
+        Image.fromarray((np.asarray(eval_clip[i]) * 255).astype(np.uint8)).save(
+            out / "images" / f"{i:05d}.png"
+        )
+        Image.fromarray(
+            (np.asarray(eval_masks[i]) * 255).astype(np.uint8), mode="L"
+        ).save(out / "masks" / f"{i:05d}.png")
+    written = run(
+        InpaintDriverConfig(
+            image_dir=str(out / "images"),
+            mask_dir=str(out / "masks"),
+            output_dir=str(out / "fill_img"),
+            width=w,
+            height=h,
+            window=T,
+            dilate_iters=0,
+        ),
+        variables=variables,
+    )
+    result["fill_img_count"] = len(written)
+    print(json.dumps(result), flush=True)
+    (out / "result.json").write_text(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
