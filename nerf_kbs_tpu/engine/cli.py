@@ -226,6 +226,11 @@ def main(argv: Optional[list[str]] = None) -> None:
     eval_only = overrides.pop("eval-only", overrides.pop("eval_only", "false")).lower() in ("1", "true")
     render_only = overrides.pop("render-only", overrides.pop("render_only", "false")).lower() in ("1", "true")
     render_dir = overrides.pop("render-dir", overrides.pop("render_dir", "renders"))
+    # reference eval-camera overrides (datamanager_z.py:138-207)
+    focal_mult = overrides.pop("render-focal-mult", None)
+    pos_shift = overrides.pop("render-pos-shift", None)  # "x,y,z"
+    frame_range = overrides.pop("render-frame-range", None)  # "lo,hi"
+    ring_view = overrides.pop("render-ring-view", "false").lower() in ("1", "true")
     serve_port = int(overrides.pop("serve", "0") or 0)
 
     spec = apply_overrides(method_registry[method](), overrides)
@@ -248,7 +253,15 @@ def main(argv: Optional[list[str]] = None) -> None:
     if render_only:
         from nerf_kbs_tpu.engine.render import render_trajectory
 
-        written = render_trajectory(trainer, render_dir)
+        written = render_trajectory(
+            trainer, render_dir,
+            focal_mult=float(focal_mult) if focal_mult else None,
+            pos_shift=tuple(float(v) for v in pos_shift.split(","))
+            if pos_shift else None,
+            frame_range=tuple(int(v) for v in frame_range.split(","))
+            if frame_range else None,
+            ring_view=ring_view,
+        )
         print(f"rendered {len(written)} frames to {render_dir}")
         return
     metrics = trainer.train()

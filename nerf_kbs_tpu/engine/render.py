@@ -50,22 +50,98 @@ def interpolate_camera_path(c2ws: np.ndarray, frames_per_segment: int = 8) -> np
     return np.stack(out)
 
 
+def ring_view_path(c2ws: np.ndarray, n: int = 60, radius_scale: float = 1.0,
+                   height_offset: float = 0.0) -> np.ndarray:
+    """Circular orbit around the camera-cloud center, each pose facing the
+    center (the reference eval loader's ring-view camera option,
+    datamanager_z.py:138-207). Returns (n, 3, 4)."""
+    center = c2ws[:, :3, 3].mean(axis=0)
+    radius = float(np.linalg.norm(c2ws[:, :3, 3] - center, axis=1).mean())
+    radius = max(radius, 1e-3) * radius_scale
+    up = np.array([0.0, 0.0, 1.0])
+    out = []
+    for k in range(n):
+        th = 2 * np.pi * k / n
+        eye = center + radius * np.array([np.cos(th), np.sin(th), 0.0])
+        eye[2] += height_offset
+        fwd = center - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross(fwd, up)
+        right = right / max(np.linalg.norm(right), 1e-9)
+        down = np.cross(fwd, right)
+        # OpenGL camera: -z forward, +x right, +y up
+        R = np.stack([right, -down, -fwd], axis=1)
+        out.append(np.concatenate([R, eye[:, None]], axis=1))
+    return np.stack(out)
+
+
+def apply_camera_overrides(
+    cams,
+    focal_mult: float | None = None,
+    pos_shift: tuple | None = None,
+    frame_range: tuple | None = None,
+):
+    """Reference eval-camera overrides (datamanager_z.py:138-207): focal
+    multiplier (zoom), world-space position shift, inclusive frame range.
+    Returns a new Cameras."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    sl = slice(None)
+    if frame_range is not None:
+        sl = slice(int(frame_range[0]), int(frame_range[1]) + 1)
+
+    def cut(v):
+        return None if v is None else v[sl]
+
+    fx, fy = cut(cams.fx), cut(cams.fy)
+    c2w = cut(cams.c2w)
+    if focal_mult is not None:
+        fx = fx * focal_mult
+        fy = fy * focal_mult
+    if pos_shift is not None:
+        c2w = c2w.at[:, :3, 3].add(jnp.asarray(pos_shift, jnp.float32))
+    return dataclasses.replace(
+        cams,
+        fx=fx,
+        fy=fy,
+        cx=cut(cams.cx),
+        cy=cut(cams.cy),
+        c2w=c2w,
+        width=cut(cams.width),
+        height=cut(cams.height),
+        times=cut(cams.times),
+    )
+
+
 def render_trajectory(
     trainer,
     output_dir: str,
     frames_per_segment: int = 8,
     camera_source: str = "eval",
     downscale: int = 1,
+    focal_mult: float | None = None,
+    pos_shift: tuple | None = None,
+    frame_range: tuple | None = None,
+    ring_view: bool = False,
+    ring_frames: int = 60,
 ) -> list[str]:
-    """Render an interpolated path through the (train|eval) cameras using the
-    trainer's chunked renderer; writes rgb_%05d.png + depth_%05d.png."""
+    """Render a camera path through the (train|eval) cameras using the
+    trainer's chunked renderer; writes rgb_%05d.png + depth_%05d.png.
+    Supports the reference eval loader's camera overrides (focal_mult,
+    pos_shift, frame_range, ring view — datamanager_z.py:138-207)."""
     import jax.numpy as jnp
 
     from nerf_kbs_tpu.cameras.cameras import Cameras
 
     cams = trainer.train_cameras if camera_source == "train" else trainer.eval_cameras
+    cams = apply_camera_overrides(cams, focal_mult, pos_shift, frame_range)
     c2ws = np.asarray(cams.c2w)
-    path = interpolate_camera_path(c2ws, frames_per_segment)
+    if ring_view:
+        path = ring_view_path(c2ws, n=ring_frames)
+    else:
+        path = interpolate_camera_path(c2ws, frames_per_segment)
     n = len(path)
     tiled = lambda v: jnp.broadcast_to(v[:1], (n,) + v.shape[1:])
     traj_cams = Cameras(

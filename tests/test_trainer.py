@@ -168,3 +168,32 @@ def test_scanned_dispatch_honors_cadence(tmp_path):
     t = make_trainer(tmp_path, steps_per_dispatch=64)
     t.train(num_iterations=50)
     assert t.step == 50
+
+
+def test_camera_overrides_and_ring_view():
+    from nerf_kbs_tpu.engine.render import apply_camera_overrides, ring_view_path
+    from nerf_kbs_tpu.data.synthetic import orbit_cameras
+    from nerf_kbs_tpu.data.outputs import DataparserOutputs
+
+    cams = DataparserOutputs(
+        [], orbit_cameras(8, h=32, w=32), np.array([[-1.0] * 3, [1.0] * 3])
+    ).cameras()
+    out = apply_camera_overrides(cams, focal_mult=2.0, pos_shift=(0.1, 0, 0),
+                                 frame_range=(2, 5))
+    assert out.c2w.shape[0] == 4
+    np.testing.assert_allclose(np.asarray(out.fx), np.asarray(cams.fx[2:6]) * 2)
+    np.testing.assert_allclose(
+        np.asarray(out.c2w[:, 0, 3]), np.asarray(cams.c2w[2:6, 0, 3]) + 0.1,
+        atol=1e-6)
+
+    ring = ring_view_path(np.asarray(cams.c2w), n=12)
+    assert ring.shape == (12, 3, 4)
+    # each pose is a valid rotation facing the center
+    center = np.asarray(cams.c2w)[:, :3, 3].mean(0)
+    for p in ring:
+        R = p[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        fwd = -R[:, 2]  # OpenGL: camera looks down -z
+        to_center = center - p[:3, 3]
+        cos = fwd @ to_center / np.linalg.norm(to_center)
+        assert cos > 0.99
