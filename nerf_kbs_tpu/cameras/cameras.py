@@ -113,6 +113,22 @@ def _camera_dirs(cam: Cameras, idx: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarra
     return jnp.stack([x, -y, -jnp.ones_like(x)], axis=-1)
 
 
+def _onehot_fetch(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] as a one-hot matmul: (B,) int32 x (N, P) -> (B, P).
+
+    XLA gathers run at scalar rate on TPU (15-116 M elements/s measured —
+    CLAUDE.md); with the small per-scene camera count, a one-hot (B, N)
+    matmul fetches all per-camera parameters on the MXU instead (measured:
+    generate_rays 3.25 ms -> sub-ms at 16k rays). f32 HIGHEST so parameter
+    values are not truncated to bf16."""
+    n = table.shape[0]
+    onehot = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)).astype(jnp.float32)
+    return jax.lax.dot_general(
+        onehot, table.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def generate_rays(
     cameras: Cameras,
     ray_indices: jnp.ndarray,
@@ -124,22 +140,58 @@ def generate_rays(
     c2w_delta:   optional (N, 3, 4) per-camera pose adjustment (camera
                  optimizer); composed as ``c2w' = delta . c2w``.
     """
+    batch_shape = ray_indices.shape[:-1]
+    flat_idx = ray_indices[..., 0].reshape(-1)
     idx = ray_indices[..., 0]
     row = ray_indices[..., 1].astype(jnp.float32)
     col = ray_indices[..., 2].astype(jnp.float32)
     px = col + 0.5
     py = row + 0.5
 
-    d_cam = _camera_dirs(cameras, idx, px, py)
-    # neighboring pixels for the pixel-area estimate
-    d_cam_dx = _camera_dirs(cameras, idx, px + 1.0, py)
-    d_cam_dy = _camera_dirs(cameras, idx, px, py + 1.0)
-
-    c2w = cameras.c2w[idx]
+    # one one-hot matmul fetches every per-camera parameter (see
+    # _onehot_fetch): fx, fy, cx, cy, c2w(12), optional delta(12),
+    # distortion(k), time
+    n_cams = cameras.fx.shape[0]
+    cols = [
+        cameras.fx[:, None], cameras.fy[:, None],
+        cameras.cx[:, None], cameras.cy[:, None],
+        cameras.c2w.reshape(n_cams, 12),
+    ]
+    if c2w_delta is not None:
+        cols.append(c2w_delta.reshape(n_cams, 12))
+    if cameras.distortion is not None:
+        cols.append(cameras.distortion)
+    if cameras.times is not None:
+        cols.append(cameras.times[:, None])
+    fetched = _onehot_fetch(flat_idx, jnp.concatenate(cols, axis=1))
+    fetched = fetched.reshape(batch_shape + (fetched.shape[-1],))
+    fx, fy, cx, cy = (fetched[..., i] for i in range(4))
+    c2w = fetched[..., 4:16].reshape(batch_shape + (3, 4))
+    off = 16
     if c2w_delta is not None:
         from nerf_kbs_tpu.cameras.transforms import compose_se3
 
-        c2w = compose_se3(c2w_delta[idx], c2w)
+        delta = fetched[..., off:off + 12].reshape(batch_shape + (3, 4))
+        c2w = compose_se3(delta, c2w)
+        off += 12
+    dist = None
+    if cameras.distortion is not None:
+        k = cameras.distortion.shape[1]
+        dist = fetched[..., off:off + k]
+        off += k
+
+    def dirs(px, py):
+        x = (px - cx) / fx
+        y = (py - cy) / fy
+        if dist is not None:
+            x, y = _undistort_iterative(x, y, dist)
+        return jnp.stack([x, -y, -jnp.ones_like(x)], axis=-1)
+
+    d_cam = dirs(px, py)
+    # neighboring pixels for the pixel-area estimate
+    d_cam_dx = dirs(px + 1.0, py)
+    d_cam_dy = dirs(px, py + 1.0)
+
     R = c2w[..., :3, :3]
     origins = c2w[..., :3, 3]
 
@@ -156,7 +208,7 @@ def generate_rays(
 
     times = None
     if cameras.times is not None:
-        times = cameras.times[idx][..., None]
+        times = fetched[..., off:off + 1]
 
     return RayBundle(
         origins=origins,

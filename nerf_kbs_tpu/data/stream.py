@@ -130,21 +130,41 @@ class ChunkedStreamDataManager:
         if self.config.with_time:
             rows["time"] = np.full((len(rr), 1), it.time, np.float32)
             rows["video_id"] = np.full((len(rr), 1), it.video_id, np.int32)
-        if self.config.with_flow and it.forward_flow_path is not None:
-            flow, valid = it.load_forward_flow()
+        if self.config.with_flow:
+            # every frame must emit the flow keys (chunk assembly intersects
+            # keys across frames — the LAST frame never has a forward
+            # neighbor, and dropping the keys there would silently disable
+            # flow supervision for the whole chunk). Neighbor-less frames get
+            # flow_valid = 0 rows, which the masked flow loss ignores.
             nbr_idx = it.forward_neighbor_index
-            if nbr_idx is not None and 0 <= nbr_idx < len(self.train_items):
+            has = (
+                it.forward_flow_path is not None
+                and nbr_idx is not None
+                and 0 <= nbr_idx < len(self.train_items)
+            )
+            n = len(rr)
+            if has:
+                flow, valid = it.load_forward_flow()
                 nbr = self.train_items[nbr_idx]
                 from nerf_kbs_tpu.cameras.poses import invert_se3, to_homogeneous
 
                 w2c = invert_se3(to_homogeneous(np.asarray(nbr.c2w)[None]))[0, :3, :4]
                 rows["forward_flow"] = flow[rr, cc].astype(np.float32)
                 rows["flow_valid"] = valid[rr, cc].astype(np.float32)[:, None]
-                rows["fwd_w2c"] = np.tile(w2c[None].astype(np.float32), (len(rr), 1, 1))
+                rows["fwd_w2c"] = np.tile(w2c[None].astype(np.float32), (n, 1, 1))
                 rows["fwd_K"] = np.tile(
-                    np.asarray(nbr.intrinsics, np.float32)[None], (len(rr), 1)
+                    np.asarray(nbr.intrinsics, np.float32)[None], (n, 1)
                 )
-                rows["pixel_xy"] = np.stack([cc + 0.5, rr + 0.5], -1).astype(np.float32)
+            else:
+                rows["forward_flow"] = np.zeros((n, 2), np.float32)
+                rows["flow_valid"] = np.zeros((n, 1), np.float32)
+                rows["fwd_w2c"] = np.tile(
+                    np.eye(3, 4, dtype=np.float32)[None], (n, 1, 1)
+                )
+                rows["fwd_K"] = np.tile(
+                    np.asarray(it.intrinsics, np.float32)[None], (n, 1)
+                )
+            rows["pixel_xy"] = np.stack([cc + 0.5, rr + 0.5], -1).astype(np.float32)
         if self.config.with_sky and it.sky_mask_path is not None:
             sky = it.load_sky_mask()
             rows["sky"] = sky[rr, cc][:, None].astype(np.float32)

@@ -232,10 +232,48 @@ def render_frame(pose: np.ndarray, boxes: list[Box], h: int, w: int,
     )
 
 
+def render_flow(pose_a: np.ndarray, pose_b: np.ndarray, boxes: list[Box],
+                h: int, w: int, fx: float, fy: float, cx: float, cy: float):
+    """Exact forward optical flow from frame a to frame b (static scene,
+    camera motion only): trace frame a, reproject each hit point into frame
+    b. Returns (flow (H, W, 2) float32, valid (H, W) bool — hit pixels whose
+    reprojection lands in front of camera b). Sky pixels are invalid (their
+    flow is rotation-only / infinite-depth; rendered depth there is
+    undefined, so supervising them would fight the model)."""
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    d_cam = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1
+    ).reshape(-1, 3)
+    d_world = d_cam @ pose_a[:3, :3].T
+    norm = np.linalg.norm(d_world, axis=1, keepdims=True)
+    o = np.broadcast_to(pose_a[:3, 3], d_world.shape)
+    _, t_ray, sem = trace(o, d_world / norm, boxes)
+    hit = sem != SEMANTIC_CLASSES.index("sky")
+    pts = o + (d_world / norm) * t_ray[:, None]
+    # project into frame b (cam0 convention: x right, y down, z forward)
+    rel = pts - pose_b[:3, 3]
+    cam_b = rel @ pose_b[:3, :3]  # == R_b^T @ rel, rowwise
+    z = cam_b[:, 2]
+    valid = hit & (z > 0.1)
+    z = np.where(np.abs(z) < 1e-6, 1e-6, z)
+    u1 = fx * cam_b[:, 0] / z + cx
+    v1 = fy * cam_b[:, 1] / z + cy
+    flow = np.stack([u1 - (xs.reshape(-1) + 0.0), v1 - (ys.reshape(-1) + 0.0)], -1)
+    flow = np.where(valid[:, None], flow, 0.0)
+    return (
+        flow.reshape(h, w, 2).astype(np.float32),
+        valid.reshape(h, w),
+    )
+
+
 def write_dataset(out_dir: str | Path, n_frames: int = 40, h: int = 375,
                   w: int = 1242, seed: int = 0, fx: float | None = None,
-                  fy: float | None = None, step: float = 0.8) -> Path:
-    """Generate and write the full KITTI-layout dataset. Returns out_dir."""
+                  fy: float | None = None, step: float = 0.8,
+                  write_flow: bool = False) -> Path:
+    """Generate and write the full KITTI-layout dataset. Returns out_dir.
+    With write_flow, also writes exact forward flow t -> t+1 as
+    flow_fwd/%06d.npy (H, W, 3: u, v, valid) — the format ImageMetadata's
+    flow loader consumes."""
     from PIL import Image
 
     out = Path(out_dir)
@@ -279,6 +317,15 @@ def write_dataset(out_dir: str | Path, n_frames: int = 40, h: int = 375,
         Image.fromarray(np.full((h, w), 255, np.uint8), mode="L").save(
             out / "mask" / f"{i:06}.png"
         )
+        if write_flow and i + 1 < len(poses):
+            (out / "flow_fwd").mkdir(exist_ok=True)
+            flow, valid = render_flow(
+                pose, poses[i + 1], boxes, h, w, fx, fy, cx, cy
+            )
+            np.save(
+                out / "flow_fwd" / f"{i:06}.npy",
+                np.concatenate([flow, valid[..., None].astype(np.float32)], -1),
+            )
 
     rows = ["Category,R,G,B"] + [
         f"{c},{r},{g},{b}"

@@ -281,3 +281,56 @@ def test_pdf_sampler_include_original_merges_edges():
     for r in range(4):
         for e in old_edges[r]:
             assert np.min(np.abs(edges[r] - e)) < 1e-6
+
+
+def test_bracket_values_matches_masked_reduction_gradients():
+    """_bracket_values (variadic reduce fwd + boundary-routed bwd) must equal
+    the four masked max/min reductions in values AND gradients (exact when
+    cdf rows are strictly increasing, which histogram_padding guarantees)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.ops.samplers import _bracket_values
+
+    R, S, Q = 9, 14, 6
+    key = jax.random.PRNGKey(0)
+    w = jax.random.uniform(key, (R, S)) + 0.01
+    pdf = w / w.sum(1, keepdims=True)
+    cdf = jnp.concatenate([jnp.zeros((R, 1)), jnp.cumsum(pdf, 1)], 1)
+    cdf = cdf.at[:, -1].set(1.0)
+    edges = jnp.linspace(0.0, 1.0, S + 1)[None].repeat(R, 0)
+    edges = edges + jax.random.uniform(jax.random.fold_in(key, 1), (R, S + 1)) * 1e-3
+    edges = jnp.sort(edges, axis=1)
+    u = jnp.linspace(0.0, 1.0 - 1.0 / Q, Q)[None] + jax.random.uniform(
+        jax.random.fold_in(key, 2), (R, 1)
+    ) / Q
+
+    def oracle(cdf, edges, u):
+        big = jnp.float32(1e10)
+        mask = cdf[:, :, None] <= u[:, None, :]
+        return (
+            jnp.max(jnp.where(mask, cdf[:, :, None], -big), axis=1),
+            jnp.min(jnp.where(mask, big, cdf[:, :, None]), axis=1),
+            jnp.max(jnp.where(mask, edges[:, :, None], -big), axis=1),
+            jnp.min(jnp.where(mask, big, edges[:, :, None]), axis=1),
+        )
+
+    got = _bracket_values(cdf, edges, u)
+    want = oracle(cdf, edges, u)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    gouts = [
+        jax.random.normal(jax.random.fold_in(key, 10 + i), (R, Q))
+        for i in range(4)
+    ]
+
+    def loss(fn, cdf, edges, u):
+        outs = fn(cdf, edges, u)
+        return sum(jnp.sum(o * g) for o, g in zip(outs, gouts))
+
+    ga = jax.grad(lambda *a: loss(_bracket_values, *a), argnums=(0, 1, 2))(
+        cdf, edges, u)
+    gb = jax.grad(lambda *a: loss(oracle, *a), argnums=(0, 1, 2))(cdf, edges, u)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

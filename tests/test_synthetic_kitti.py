@@ -73,3 +73,49 @@ def test_forward_motion(dataset):
     poses = np.loadtxt(dataset / "00.txt").reshape(-1, 3, 4)
     z = poses[:, 2, 3]
     assert np.all(np.diff(z) > 0)  # strictly forward
+
+
+def test_flow_photometric_consistency(tmp_path):
+    """Warping frame t+1 backwards by the exact forward flow must reproduce
+    frame t on valid pixels (up to bilinear resampling error)."""
+    from nerf_kbs_tpu.data.synthetic_kitti import (
+        CX, CY, FX, FY, make_poses, make_scene, render_flow,
+    )
+
+    h, w = 94, 311
+    sx, sy = w / 1242.0, h / 375.0
+    fx, fy, cx, cy = FX * sx, FY * sy, CX * sx, CY * sy
+    boxes = make_scene(0, 100.0)
+    poses = make_poses(3)
+    f0, _, _ = render_frame(poses[0], boxes, h, w, fx, fy, cx, cy)
+    f1, _, _ = render_frame(poses[1], boxes, h, w, fx, fy, cx, cy)
+    flow, valid = render_flow(poses[0], poses[1], boxes, h, w, fx, fy, cx, cy)
+
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    u = xs + flow[..., 0]
+    v = ys + flow[..., 1]
+    inb = valid & (u >= 0) & (u < w - 1) & (v >= 0) & (v < h - 1)
+    u0, v0 = np.floor(u).astype(int), np.floor(v).astype(int)
+    du, dv = (u - u0)[..., None], (v - v0)[..., None]
+    u0c, v0c = np.clip(u0, 0, w - 2), np.clip(v0, 0, h - 2)
+    warped = (
+        f1[v0c, u0c] * (1 - du) * (1 - dv)
+        + f1[v0c, u0c + 1] * du * (1 - dv)
+        + f1[v0c + 1, u0c] * (1 - du) * dv
+        + f1[v0c + 1, u0c + 1] * du * dv
+    )
+    err = np.abs(warped - f0)[inb]
+    # median photometric error small; mean tolerant of occlusion edges
+    assert np.median(err) < 0.02
+    assert err.mean() < 0.08
+    assert inb.mean() > 0.5
+
+
+def test_write_dataset_flow_layout(tmp_path):
+    out = write_dataset(tmp_path / "f", n_frames=4, h=47, w=156,
+                        write_flow=True)
+    import numpy as _np
+
+    arr = _np.load(out / "flow_fwd" / "000001.npy")
+    assert arr.shape == (47, 156, 3)
+    assert set(_np.unique(arr[..., 2])) <= {0.0, 1.0}
