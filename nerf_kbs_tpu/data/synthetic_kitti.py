@@ -164,13 +164,17 @@ def _sky_color(d: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def trace(origins: np.ndarray, dirs: np.ndarray, boxes: list[Box]):
+def trace(origins: np.ndarray, dirs: np.ndarray, boxes: list[Box],
+          return_ids: bool = False):
     """Nearest-hit trace. origins/dirs (N, 3) in cam0 world axes (y down).
-    Returns rgb (N, 3), z-depth along the ray (N,), semantic ids (N,)."""
+    Returns rgb (N, 3), distance along the (unit) ray (N,), semantic ids
+    (N,) — plus hit box indices (N,) int32 (-1 ground, -2 sky) when
+    ``return_ids``."""
     n = origins.shape[0]
     best_t = np.full(n, np.inf)
     rgb = _sky_color(dirs)
     sem = np.full(n, SEMANTIC_CLASSES.index("sky"), np.int32)
+    ids = np.full(n, -2, np.int32)
 
     # ground plane y = CAM_HEIGHT
     dy = dirs[:, 1]
@@ -182,9 +186,10 @@ def trace(origins: np.ndarray, dirs: np.ndarray, boxes: list[Box]):
         best_t[hit] = t_pl[hit]
         rgb[hit] = _road_color(p)
         sem[hit] = SEMANTIC_CLASSES.index("road")
+        ids[hit] = -1
 
     inv = np.where(np.abs(dirs) > 1e-12, 1.0 / dirs, np.inf)
-    for box in boxes:
+    for bi, box in enumerate(boxes):
         t0 = (box.lo[None, :] - origins) * inv
         t1 = (box.hi[None, :] - origins) * inv
         tmin = np.minimum(t0, t1).max(axis=1)
@@ -194,6 +199,7 @@ def trace(origins: np.ndarray, dirs: np.ndarray, boxes: list[Box]):
             continue
         p = origins[hit] + dirs[hit] * tmin[hit, None]
         best_t[hit] = tmin[hit]
+        ids[hit] = bi
         if box.kind == "building":
             rgb[hit] = _building_color(p, box)
             sem[hit] = SEMANTIC_CLASSES.index("building")
@@ -206,7 +212,10 @@ def trace(origins: np.ndarray, dirs: np.ndarray, boxes: list[Box]):
     haze = np.clip(depth / 160.0, 0.0, 0.55)[:, None]
     sky_mask = sem == SEMANTIC_CLASSES.index("sky")
     rgb = np.where(sky_mask[:, None], rgb, rgb * (1 - haze) + haze * 0.8)
-    return np.clip(rgb, 0.0, 1.0), depth, sem
+    rgb = np.clip(rgb, 0.0, 1.0)
+    if return_ids:
+        return rgb, depth, sem, ids
+    return rgb, depth, sem
 
 
 def render_frame(pose: np.ndarray, boxes: list[Box], h: int, w: int,
@@ -333,3 +342,107 @@ def write_dataset(out_dir: str | Path, n_frames: int = 40, h: int = 375,
     ]
     (out / "semantics_list.txt").write_text("\n".join(rows) + "\n")
     return out
+
+
+# ---------------------------------------------------------------------------
+# dynamic scene: moving objects (exact flow + ground-truth motion masks)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Mover:
+    """A box translating at constant velocity (per-frame displacement)."""
+
+    box: Box
+    velocity: np.ndarray  # (3,) meters per frame, cam0 world axes
+
+
+def make_movers() -> list[Mover]:
+    """Two dynamic cars: one crossing the road left->right, one oncoming."""
+    crossing = Box(
+        lo=np.array([-6.5, CAM_HEIGHT - 1.6, 19.0]),
+        hi=np.array([-2.5, CAM_HEIGHT, 21.0]),
+        kind="car",
+        base_color=np.array([0.85, 0.2, 0.1]),
+    )
+    oncoming = Box(
+        lo=np.array([-3.4, CAM_HEIGHT - 1.5, 42.0]),
+        hi=np.array([-1.6, CAM_HEIGHT, 46.2]),
+        kind="car",
+        base_color=np.array([0.1, 0.3, 0.8]),
+    )
+    return [
+        Mover(crossing, np.array([0.9, 0.0, 0.0])),
+        Mover(oncoming, np.array([0.0, 0.0, -1.6])),
+    ]
+
+
+def _displaced(m: Mover, frame: float) -> Box:
+    d = m.velocity * frame
+    return Box(m.box.lo + d, m.box.hi + d, m.box.kind, m.box.base_color)
+
+
+def boxes_at(static: list[Box], movers: list[Mover], frame: float) -> list[Box]:
+    """Scene boxes at a given frame time: movers FIRST so their trace box
+    indices are 0..len(movers)-1 (used for motion-mask ground truth)."""
+    return [_displaced(m, frame) for m in movers] + list(static)
+
+
+def render_dynamic_frame(pose, static, movers, frame, h, w, fx, fy, cx, cy):
+    """Like render_frame but with movers at their frame-time positions.
+    Returns (rgb, zdepth, sem, dyn_mask) — dyn_mask True on moving objects."""
+    boxes = boxes_at(static, movers, frame)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    d_cam = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1
+    ).reshape(-1, 3)
+    d_world = d_cam @ pose[:3, :3].T
+    norm = np.linalg.norm(d_world, axis=1, keepdims=True)
+    o = np.broadcast_to(pose[:3, 3], d_world.shape)
+    rgb, t_ray, sem, ids = trace(o, d_world / norm, boxes, return_ids=True)
+    dyn = (ids >= 0) & (ids < len(movers))
+    return (
+        rgb.reshape(h, w, 3),
+        (t_ray / norm[:, 0]).reshape(h, w).astype(np.float32),
+        sem.reshape(h, w).astype(np.int32),
+        dyn.reshape(h, w),
+    )
+
+
+def render_dynamic_flow(pose_a, pose_b, static, movers, frame_a, frame_b,
+                        h, w, fx, fy, cx, cy):
+    """Exact forward optical flow for the DYNAMIC scene: hit points on a
+    mover travel with it between frames before reprojection. Returns
+    (flow (H, W, 2), valid (H, W) bool, dyn_mask (H, W) bool)."""
+    boxes = boxes_at(static, movers, frame_a)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    d_cam = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1
+    ).reshape(-1, 3)
+    d_world = d_cam @ pose_a[:3, :3].T
+    norm = np.linalg.norm(d_world, axis=1, keepdims=True)
+    o = np.broadcast_to(pose_a[:3, 3], d_world.shape)
+    _, t_ray, sem, ids = trace(o, d_world / norm, boxes, return_ids=True)
+    hit = sem != SEMANTIC_CLASSES.index("sky")
+    pts = o + (d_world / norm) * t_ray[:, None]
+    # points on movers travel with their object
+    dt = frame_b - frame_a
+    for mi, m in enumerate(movers):
+        on = ids == mi
+        if on.any():
+            pts[on] += m.velocity * dt
+    rel = pts - pose_b[:3, 3]
+    cam_b = rel @ pose_b[:3, :3]
+    z = cam_b[:, 2]
+    valid = hit & (z > 0.1)
+    z = np.where(np.abs(z) < 1e-6, 1e-6, z)
+    u1 = fx * cam_b[:, 0] / z + cx
+    v1 = fy * cam_b[:, 1] / z + cy
+    flow = np.stack([u1 - xs.reshape(-1), v1 - ys.reshape(-1)], -1)
+    flow = np.where(valid[:, None], flow, 0.0)
+    dyn = (ids >= 0) & (ids < len(movers))
+    return (
+        flow.reshape(h, w, 2).astype(np.float32),
+        valid.reshape(h, w),
+        dyn.reshape(h, w),
+    )

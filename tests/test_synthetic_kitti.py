@@ -119,3 +119,52 @@ def test_write_dataset_flow_layout(tmp_path):
     arr = _np.load(out / "flow_fwd" / "000001.npy")
     assert arr.shape == (47, 156, 3)
     assert set(_np.unique(arr[..., 2])) <= {0.0, 1.0}
+
+
+def test_motion_pipeline_finds_moving_objects():
+    """Rigid-vs-optical flow -> threshold -> instance fusion must recover the
+    moving objects (IoU vs exact GT) and agree with pose2flow on statics."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.data.synthetic_kitti import (
+        CX, CY, FX, FY, make_movers, make_poses, make_scene,
+        render_dynamic_flow, render_dynamic_frame,
+    )
+    from nerf_kbs_tpu.process_data.motion_mask import (
+        hard_motion_mask, instances_from_components, moving_probability,
+        per_object_fusion,
+    )
+    from nerf_kbs_tpu.process_data.warp import pose2flow
+
+    h, w = 94, 311
+    sx, sy = w / 1242.0, h / 375.0
+    fx, fy, cx, cy = FX * sx, FY * sy, CX * sx, CY * sy
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]], np.float32)
+    static = make_scene(0, 100.0)
+    movers = make_movers()
+    poses = make_poses(5)
+
+    i = 2
+    _, depth, _, dyn_gt = render_dynamic_frame(
+        poses[i], static, movers, i, h, w, fx, fy, cx, cy)
+    optical, valid, _ = render_dynamic_flow(
+        poses[i], poses[i + 1], static, movers, i, i + 1, h, w, fx, fy, cx, cy)
+    Pa = np.eye(4); Pa[:3] = poses[i]
+    Pb = np.eye(4); Pb[:3] = poses[i + 1]
+    rel = (np.linalg.inv(Pb) @ Pa)[:3].astype(np.float32)
+    rigid = np.asarray(pose2flow(
+        jnp.asarray(depth[None]), jnp.asarray(rel[None]),
+        jnp.asarray(K[None]), jnp.asarray(np.linalg.inv(K)[None].astype(np.float32)),
+    ))[0]
+    opt_t = np.moveaxis(optical, -1, 0)
+    stat = valid & ~dyn_gt
+    assert np.median(np.linalg.norm(opt_t - rigid, axis=0)[stat]) < 0.5
+
+    opt_t = np.where(valid[None], opt_t, rigid)
+    prob = np.asarray(moving_probability(jnp.asarray(opt_t), jnp.asarray(rigid)))
+    hard = np.asarray(hard_motion_mask(jnp.asarray(prob), 0.3)) * valid
+    inst = instances_from_components(hard.astype(np.uint8), min_area=16)
+    dyn_pred = (1 - per_object_fusion(inst, hard)).astype(bool)
+    iou = (dyn_pred & dyn_gt).sum() / max((dyn_pred | dyn_gt).sum(), 1)
+    assert iou > 0.8, iou
