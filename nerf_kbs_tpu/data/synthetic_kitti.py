@@ -446,3 +446,64 @@ def render_dynamic_flow(pose_a, pose_b, static, movers, frame_a, frame_b,
         valid.reshape(h, w),
         dyn.reshape(h, w),
     )
+
+
+def write_dynamic_dataset(out_dir: str | Path, n_frames: int = 24,
+                          h: int = 188, w: int = 621, seed: int = 0,
+                          step: float = 0.8) -> Path:
+    """KITTI-layout dataset of the DYNAMIC scene (moving cars): frames,
+    z-depth, color semantics, and GT STATIC-validity masks (255 = static;
+    the mask convention the trainers consume — dynamic pixels excluded from
+    supervision). Flow is written like write_dataset."""
+    from PIL import Image
+
+    out = Path(out_dir)
+    seq = "00"
+    for d in (seq, "depth", "sem", "mask", "flow_fwd"):
+        (out / d).mkdir(parents=True, exist_ok=True)
+
+    sx, sy = w / 1242.0, h / 375.0
+    fx, fy, cx, cy = FX * sx, FY * sy, CX * sx, CY * sy
+    p2 = np.zeros((3, 4))
+    p2[0, 0], p2[1, 1], p2[0, 2], p2[1, 2], p2[2, 2] = fx, fy, cx, cy, 1.0
+    lines = [
+        name + ": " + " ".join(f"{v:.12e}" for v in p2.reshape(-1))
+        for name in ("P0", "P1", "P2", "P3")
+    ]
+    (out / "calib.txt").write_text("\n".join(lines) + "\n")
+
+    static = make_scene(seed=seed, length=n_frames * step + 90.0)
+    movers = make_movers()
+    poses = make_poses(n_frames, step=step)
+    with open(out / f"{seq}.txt", "w") as f:
+        for p in poses:
+            f.write(" ".join(f"{v:.12e}" for v in p.reshape(-1)) + "\n")
+
+    for i, pose in enumerate(poses):
+        rgb, depth, sem, dyn = render_dynamic_frame(
+            pose, static, movers, i, h, w, fx, fy, cx, cy
+        )
+        Image.fromarray((rgb * 255).astype(np.uint8)).save(
+            out / seq / f"{i:06}.png"
+        )
+        np.save(out / "depth" / f"{i:06}.npy", depth)
+        Image.fromarray(SEMANTIC_COLORS[sem]).save(out / "sem" / f"{i:06}.png")
+        Image.fromarray(((~dyn) * 255).astype(np.uint8), mode="L").save(
+            out / "mask" / f"{i:06}.png"
+        )
+        if i + 1 < len(poses):
+            flow, valid, _ = render_dynamic_flow(
+                pose, poses[i + 1], static, movers, i, i + 1,
+                h, w, fx, fy, cx, cy,
+            )
+            np.save(
+                out / "flow_fwd" / f"{i:06}.npy",
+                np.concatenate([flow, valid[..., None].astype(np.float32)], -1),
+            )
+
+    rows = ["Category,R,G,B"] + [
+        f"{c},{r},{g},{b}"
+        for c, (r, g, b) in zip(SEMANTIC_CLASSES, SEMANTIC_COLORS)
+    ]
+    (out / "semantics_list.txt").write_text("\n".join(rows) + "\n")
+    return out
