@@ -234,7 +234,11 @@ def nerfacto_field_apply(
         # use_average_appearance_embedding) which costs PSNR on novel views.
         # Set appearance_embedding_dim=0 for appearance-constant captures.
         if train or not cfg.use_average_appearance_embedding:
-            app = params["appearance_emb"][cam]  # (R, A)
+            # one-hot matmul fetch (differentiable into the table); per-ray
+            # gathers are scalar-rate on TPU (see cameras._onehot_fetch)
+            from nerf_kbs_tpu.cameras.cameras import _onehot_fetch
+
+            app = _onehot_fetch(cam, params["appearance_emb"])  # (R, A)
         else:
             app = jnp.broadcast_to(
                 jnp.mean(params["appearance_emb"], axis=0),
@@ -253,7 +257,9 @@ def nerfacto_field_apply(
         out["semantics"] = mlp_apply(params["semantic_mlp"], sem_in, cfg.semantic_mlp)
 
     if cfg.use_transient_embedding and train:
-        t_emb = params["transient_emb"][cam]
+        from nerf_kbs_tpu.cameras.cameras import _onehot_fetch
+
+        t_emb = _onehot_fetch(cam, params["transient_emb"])
         t_emb = jnp.broadcast_to(t_emb[:, None, :], (R, S, cfg.transient_embedding_dim))
         t_h = mlp_apply(
             params["transient_mlp"],
@@ -459,7 +465,9 @@ def nerfacto_field_apply_t(
     if cfg.appearance_embedding_dim > 0:
         cam = camera_indices[..., 0]
         if train or not cfg.use_average_appearance_embedding:
-            app = params["appearance_emb"][cam].T  # (A, R)
+            from nerf_kbs_tpu.cameras.cameras import _onehot_fetch
+
+            app = _onehot_fetch(cam, params["appearance_emb"]).T  # (A, R)
         else:
             app = jnp.broadcast_to(
                 jnp.mean(params["appearance_emb"], axis=0)[:, None],
