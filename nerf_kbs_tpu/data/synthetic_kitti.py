@@ -507,3 +507,48 @@ def write_dynamic_dataset(out_dir: str | Path, n_frames: int = 24,
     ]
     (out / "semantics_list.txt").write_text("\n".join(rows) + "\n")
     return out
+
+
+def write_vkitti_dataset(out_dir: str | Path, n_frames: int = 20,
+                         h: int = 188, w: int = 621, seed: int = 0,
+                         step: float = 0.8) -> Path:
+    """Write the street scene in the Virtual KITTI 2 layout the vkitti
+    dataparser consumes (data/dataparsers/vkitti.py): intrinsic.txt /
+    extrinsic.txt tables, frames/rgb/Camera_0/rgb_%05d.jpg, 16-bit
+    centimeter depth pngs. Exercises the vanilla-nerf entry point
+    (train_nerf.py) end-to-end without real vKITTI data."""
+    from PIL import Image
+
+    out = Path(out_dir)
+    (out / "frames" / "rgb" / "Camera_0").mkdir(parents=True, exist_ok=True)
+    (out / "frames" / "depth" / "Camera_0").mkdir(parents=True, exist_ok=True)
+
+    sx, sy = w / 1242.0, h / 375.0
+    fx, fy, cx, cy = FX * sx, FY * sy, CX * sx, CY * sy
+    boxes = make_scene(seed=seed, length=n_frames * step + 90.0)
+    poses = make_poses(n_frames, step=step)
+
+    intr_rows = ["frame cameraID K[0,0] K[1,1] K[0,2] K[1,2]"]
+    extr_rows = [
+        "frame cameraID r1,1 r1,2 r1,3 t1 r2,1 r2,2 r2,3 t2 "
+        "r3,1 r3,2 r3,3 t3 0 0 0 1"
+    ]
+    for i, pose in enumerate(poses):
+        rgb, depth, _ = render_frame(pose, boxes, h, w, fx, fy, cx, cy)
+        Image.fromarray((rgb * 255).astype(np.uint8)).save(
+            out / "frames" / "rgb" / "Camera_0" / f"rgb_{i:05d}.jpg", quality=97
+        )
+        cm16 = np.clip(depth * 100.0, 0, 65535).astype(np.uint16)
+        Image.fromarray(cm16, mode="I;16").save(
+            out / "frames" / "depth" / "Camera_0" / f"depth_{i:05d}.png"
+        )
+        intr_rows.append(f"{i} 0 {fx:.6f} {fy:.6f} {cx:.6f} {cy:.6f}")
+        P4 = np.eye(4)
+        P4[:3] = pose
+        w2c = np.linalg.inv(P4)
+        extr_rows.append(
+            f"{i} 0 " + " ".join(f"{v:.9e}" for v in w2c.reshape(-1))
+        )
+    (out / "intrinsic.txt").write_text("\n".join(intr_rows) + "\n")
+    (out / "extrinsic.txt").write_text("\n".join(extr_rows) + "\n")
+    return out

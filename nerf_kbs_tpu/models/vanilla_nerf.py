@@ -101,7 +101,14 @@ def init(key: jax.Array, cfg: VanillaNerfConfig) -> dict:
     kc, kf, kt = jax.random.split(key, 3)
     params = {"fields": {"coarse": _init_one_field(kc, cfg), "fine": _init_one_field(kf, cfg)}}
     if cfg.enable_temporal_distortion:
-        params["temporal_distortion"] = mlp_init(kt, cfg.distortion_mlp)
+        td = mlp_init(kt, cfg.distortion_mlp)
+        # identity warp at init: a random final layer displaces every sample
+        # by O(1) offsets, so rays see garbage positions and accumulation
+        # collapses to ~0 (nothing ever learns — found on the vkitti demo).
+        # Zero-init the output layer, as nerfstudio's TemporalDistortion does.
+        td["w"][-1] = jnp.zeros_like(td["w"][-1])
+        td["b"][-1] = jnp.zeros_like(td["b"][-1])
+        params["temporal_distortion"] = td
     return params
 
 
@@ -122,7 +129,10 @@ def _field_eval(
 ):
     p_enc = positional_encoding(positions, cfg.pos_frequencies)
     h = mlp_apply(field["base"], p_enc, cfg.base_mlp)
-    density = jax.nn.relu(
+    # softplus density (nerfstudio DensityFieldHead default): a ReLU head is
+    # a seed coin-flip — the fine field's head initialized all-negative on
+    # the vkitti demo and the whole fine pass rendered background forever
+    density = jax.nn.softplus(
         mlp_apply(
             field["density_head"], h, MLPConfig(cfg.mlp_layer_width, 1, cfg.mlp_layer_width, 1)
         )[..., 0]

@@ -168,3 +168,20 @@ def test_motion_pipeline_finds_moving_objects():
     dyn_pred = (1 - per_object_fusion(inst, hard)).astype(bool)
     iou = (dyn_pred & dyn_gt).sum() / max((dyn_pred | dyn_gt).sum(), 1)
     assert iou > 0.8, iou
+
+
+def test_vkitti_layout_parses(tmp_path):
+    from nerf_kbs_tpu.data.dataparsers.vkitti import VKittiDataParserConfig
+    from nerf_kbs_tpu.data.synthetic_kitti import write_vkitti_dataset
+
+    out = write_vkitti_dataset(tmp_path / "vk", n_frames=6, h=47, w=156)
+    do = VKittiDataParserConfig(
+        data_dir=str(out), train_split_fraction=0.75, use_depth=True
+    ).parse("train")
+    assert len(do.image_filenames) == 5
+    assert do.depth_filenames is not None
+    import numpy as _np
+
+    # poses normalized into the unit box, intrinsics scaled to the tiny res
+    assert _np.abs(do.cameras_np["c2w"][:, :3, 3]).max() <= 1.0 + 1e-6
+    assert abs(do.cameras_np["fx"][0] - 718.856 * 156 / 1242.0) < 1e-3
