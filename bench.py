@@ -50,6 +50,8 @@ def bench_method(field_type: str, batch_size: int, steps: int, on_tpu: bool) -> 
         num_proposal_samples_per_ray=(128, 48)
         if field_type == "fourier"
         else (256, 96),
+        # flagship: mip-NeRF 360 detached resampling (methods.py nerfacto-tpu)
+        stop_grad_sampling=(field_type == "fourier"),
     )
     params = nerfacto.init(jax.random.PRNGKey(0), cfg)
     optimizer = build_optimizer(
@@ -64,29 +66,31 @@ def bench_method(field_type: str, batch_size: int, steps: int, on_tpu: bool) -> 
         [], orbit_cameras(32, h=376, w=1241), np.array([[-1.0] * 3, [1.0] * 3])
     ).cameras()
 
-    rng = np.random.default_rng(0)
-    batch = {
-        "ray_indices": np.stack(
-            [
-                rng.integers(0, 32, batch_size),
-                rng.integers(0, 376, batch_size),
-                rng.integers(0, 1241, batch_size),
-            ],
-            -1,
-        ).astype(np.int32),
-        "image": rng.uniform(0, 1, (batch_size, 3)).astype(np.float32),
-    }
-    batch = jax.device_put(batch)
-
     INNER = 10  # steps per dispatch: host->chip dispatch through the axon
     # tunnel costs ~15 ms/call, which a real training loop amortizes via
     # async dispatch; scanning INNER steps per call measures device time
 
     @jax.jit
-    def multi_step(params, opt_state, batch, key):
+    def multi_step(params, opt_state, key):
         def body(carry, k):
             params, opt_state = carry
-            rays = generate_rays(cameras, batch["ray_indices"])
+            # FRESH per-step ray indices sampled on-device from the scan key:
+            # loop-varying indices guarantee XLA cannot hoist ray generation
+            # (or any index-dependent work) out of the scan body
+            ki, kt = jax.random.split(k)
+            ray_indices = jnp.stack(
+                [
+                    jax.random.randint(ki, (batch_size,), 0, 32),
+                    jax.random.randint(jax.random.fold_in(ki, 1), (batch_size,), 0, 376),
+                    jax.random.randint(jax.random.fold_in(ki, 2), (batch_size,), 0, 1241),
+                ],
+                -1,
+            ).astype(jnp.int32)
+            batch = {
+                "ray_indices": ray_indices,
+                "image": jax.random.uniform(kt, (batch_size, 3)),
+            }
+            rays = generate_rays(cameras, ray_indices)
 
             def loss_fn(p):
                 out = nerfacto.forward(p, cfg, rays, key=k, step=500.0, train=True)
@@ -103,7 +107,7 @@ def bench_method(field_type: str, batch_size: int, steps: int, on_tpu: bool) -> 
     key = jax.random.PRNGKey(1)
     # warmup: compile + one full round to drain tunnel/first-touch noise
     for i in range(2):
-        params, opt_state, loss = multi_step(params, opt_state, batch,
+        params, opt_state, loss = multi_step(params, opt_state,
                                              jax.random.fold_in(key, 1000 + i))
     jax.block_until_ready(loss)
 
@@ -113,7 +117,7 @@ def bench_method(field_type: str, batch_size: int, steps: int, on_tpu: bool) -> 
         t0 = time.perf_counter()
         for i in range(rounds):
             params, opt_state, loss = multi_step(
-                params, opt_state, batch, jax.random.fold_in(key, trial * rounds + i)
+                params, opt_state, jax.random.fold_in(key, trial * rounds + i)
             )
         jax.block_until_ready(loss)
         # params chain across calls, so the tunnel's call memoization cannot

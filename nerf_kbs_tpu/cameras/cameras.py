@@ -99,6 +99,21 @@ def _undistort_iterative(x: jnp.ndarray, y: jnp.ndarray, d: jnp.ndarray, iters: 
     return x, y
 
 
+def _undistort_iterative_rows(x, y, d_rows, iters: int = 3):
+    """Row-based variant of _undistort_iterative: d_rows is a list of 6 (B,)
+    coefficient rows (k1, k2, k3, k4, p1, p2)."""
+    k1, k2, k3, k4, p1, p2 = d_rows
+    xd, yd = x, y
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    return x, y
+
+
 def _camera_dirs(cam: Cameras, idx: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
     """Unnormalized camera-space directions (OpenGL: looking down -z) for pixel
     centers at float coords (px, py) on cameras ``idx``. Shapes broadcast."""
@@ -129,6 +144,22 @@ def _onehot_fetch(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _onehot_fetch_t(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """Feature-major fetch: (B,) int32 x (N, P) -> (P, B).
+
+    The transposed form keeps the large batch axis minor, so neither the
+    one-hot (N, B) nor the result (P, B) pads its minor dim to 128 lanes
+    (a (B, P) result with small P physically pads P -> 128)."""
+    n = table.shape[0]
+    onehot = (jnp.arange(n, dtype=idx.dtype)[:, None] == idx[None, :]).astype(
+        jnp.float32
+    )
+    return jax.lax.dot_general(
+        table.astype(jnp.float32), onehot, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def generate_rays(
     cameras: Cameras,
     ray_indices: jnp.ndarray,
@@ -139,17 +170,23 @@ def generate_rays(
     ray_indices: (..., 3) int32 (camera, row, col).
     c2w_delta:   optional (N, 3, 4) per-camera pose adjustment (camera
                  optimizer); composed as ``c2w' = delta . c2w``.
+
+    TPU layout: all intermediate math runs FEATURE-MAJOR on (B,) rows of a
+    (P, B) fetch — a (B, 3, 4) c2w intermediate physically pads its minor
+    dims (4 -> 128 lanes, 3 -> 8 sublanes, a 64x HBM blowup at 16k rays) and
+    tiny-dim einsums defeat XLA tiling. Only the final origins/directions
+    stack back to (..., 3).
     """
     batch_shape = ray_indices.shape[:-1]
     flat_idx = ray_indices[..., 0].reshape(-1)
     idx = ray_indices[..., 0]
-    row = ray_indices[..., 1].astype(jnp.float32)
-    col = ray_indices[..., 2].astype(jnp.float32)
+    row = ray_indices[..., 1].reshape(-1).astype(jnp.float32)
+    col = ray_indices[..., 2].reshape(-1).astype(jnp.float32)
     px = col + 0.5
     py = row + 0.5
 
     # one one-hot matmul fetches every per-camera parameter (see
-    # _onehot_fetch): fx, fy, cx, cy, c2w(12), optional delta(12),
+    # _onehot_fetch_t): fx, fy, cx, cy, c2w(12), optional delta(12),
     # distortion(k), time
     n_cams = cameras.fx.shape[0]
     cols = [
@@ -163,59 +200,64 @@ def generate_rays(
         cols.append(cameras.distortion)
     if cameras.times is not None:
         cols.append(cameras.times[:, None])
-    fetched = _onehot_fetch(flat_idx, jnp.concatenate(cols, axis=1))
-    fetched = fetched.reshape(batch_shape + (fetched.shape[-1],))
-    fx, fy, cx, cy = (fetched[..., i] for i in range(4))
-    c2w = fetched[..., 4:16].reshape(batch_shape + (3, 4))
+    fetched = _onehot_fetch_t(flat_idx, jnp.concatenate(cols, axis=1))  # (P, B)
+    fx, fy, cx, cy = fetched[0], fetched[1], fetched[2], fetched[3]
+    # c2w rows in (3, 4) row-major order: M[i][j] = rows[4 * i + j]
+    M = [[fetched[4 + 4 * i + j] for j in range(4)] for i in range(3)]
     off = 16
     if c2w_delta is not None:
-        from nerf_kbs_tpu.cameras.transforms import compose_se3
-
-        delta = fetched[..., off:off + 12].reshape(batch_shape + (3, 4))
-        c2w = compose_se3(delta, c2w)
+        D = [[fetched[off + 4 * i + j] for j in range(4)] for i in range(3)]
         off += 12
+        # compose c2w' = delta . c2w on rows: R' = Rd Rc, t' = Rd tc + td
+        M = [
+            [
+                sum(D[i][k] * M[k][j] for k in range(3))
+                + (D[i][3] if j == 3 else 0.0)
+                for j in range(4)
+            ]
+            for i in range(3)
+        ]
     dist = None
     if cameras.distortion is not None:
         k = cameras.distortion.shape[1]
-        dist = fetched[..., off:off + k]
+        dist = [fetched[off + i] for i in range(k)]
         off += k
 
-    def dirs(px, py):
+    def dirs_rows(px, py):
+        """Camera dirs (x, -y, -1) rotated to world; returns 3 (B,) rows."""
         x = (px - cx) / fx
         y = (py - cy) / fy
         if dist is not None:
-            x, y = _undistort_iterative(x, y, dist)
-        return jnp.stack([x, -y, -jnp.ones_like(x)], axis=-1)
+            x, y = _undistort_iterative_rows(x, y, dist)
+        return [M[i][0] * x - M[i][1] * y - M[i][2] for i in range(3)]
 
-    d_cam = dirs(px, py)
+    d0 = dirs_rows(px, py)
+    norm = jnp.sqrt(d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2])
+    u0 = [d / norm for d in d0]
+
+    def _unit_delta(d):
+        n = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+        return jnp.sqrt(sum((d[i] / n - u0[i]) ** 2 for i in range(3)))
+
     # neighboring pixels for the pixel-area estimate
-    d_cam_dx = dirs(px + 1.0, py)
-    d_cam_dy = dirs(px, py + 1.0)
-
-    R = c2w[..., :3, :3]
-    origins = c2w[..., :3, 3]
-
-    d_world = jnp.einsum("...ij,...j->...i", R, d_cam)
-    norm = jnp.linalg.norm(d_world, axis=-1, keepdims=True)
-    directions = d_world / norm
-
-    def _unit(v):
-        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
-
-    dx = jnp.linalg.norm(_unit(jnp.einsum("...ij,...j->...i", R, d_cam_dx)) - directions, axis=-1)
-    dy = jnp.linalg.norm(_unit(jnp.einsum("...ij,...j->...i", R, d_cam_dy)) - directions, axis=-1)
-    pixel_area = (dx * dy)[..., None]
+    dxn = _unit_delta(dirs_rows(px + 1.0, py))
+    dyn = _unit_delta(dirs_rows(px, py + 1.0))
+    pixel_area = (dxn * dyn).reshape(batch_shape)[..., None]
 
     times = None
     if cameras.times is not None:
-        times = fetched[..., off:off + 1]
+        times = fetched[off].reshape(batch_shape)[..., None]
 
+    origins = jnp.stack(
+        [M[0][3], M[1][3], M[2][3]], axis=-1
+    ).reshape(batch_shape + (3,))
+    directions = jnp.stack(u0, axis=-1).reshape(batch_shape + (3,))
     return RayBundle(
         origins=origins,
         directions=directions,
         pixel_area=pixel_area,
         camera_indices=idx[..., None],
-        directions_norm=norm,
+        directions_norm=norm.reshape(batch_shape)[..., None],
         times=times,
     )
 

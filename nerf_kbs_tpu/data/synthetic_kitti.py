@@ -388,9 +388,13 @@ def boxes_at(static: list[Box], movers: list[Mover], frame: float) -> list[Box]:
     return [_displaced(m, frame) for m in movers] + list(static)
 
 
-def render_dynamic_frame(pose, static, movers, frame, h, w, fx, fy, cx, cy):
+def render_dynamic_frame(pose, static, movers, frame, h, w, fx, fy, cx, cy,
+                         return_instances: bool = False):
     """Like render_frame but with movers at their frame-time positions.
-    Returns (rgb, zdepth, sem, dyn_mask) — dyn_mask True on moving objects."""
+    Returns (rgb, zdepth, sem, dyn_mask) — dyn_mask True on moving objects.
+    With ``return_instances``, appends an int32 per-pixel instance-id map
+    (0 = background, 1..n_movers = the moving objects) — free ground-truth
+    labels for training the instance segmenter."""
     boxes = boxes_at(static, movers, frame)
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
     d_cam = np.stack(
@@ -401,12 +405,16 @@ def render_dynamic_frame(pose, static, movers, frame, h, w, fx, fy, cx, cy):
     o = np.broadcast_to(pose[:3, 3], d_world.shape)
     rgb, t_ray, sem, ids = trace(o, d_world / norm, boxes, return_ids=True)
     dyn = (ids >= 0) & (ids < len(movers))
-    return (
+    out = (
         rgb.reshape(h, w, 3),
         (t_ray / norm[:, 0]).reshape(h, w).astype(np.float32),
         sem.reshape(h, w).astype(np.int32),
         dyn.reshape(h, w),
     )
+    if return_instances:
+        inst = np.where(dyn, ids + 1, 0).astype(np.int32)
+        return out + (inst.reshape(h, w),)
+    return out
 
 
 def render_dynamic_flow(pose_a, pose_b, static, movers, frame_a, frame_b,

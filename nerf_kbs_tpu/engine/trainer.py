@@ -381,17 +381,29 @@ class Trainer:
         rank = jax.process_index()
         my_idx = range(rank, self.dm.num_eval_images(), n_host)
         ms = [self.eval_image(i, write_images=False) for i in my_idx]
-        keys = [k for k in ("psnr", "ssim", "lpips", "depth_mse",
-                            "semantic_accuracy", "masked_psnr")
-                if ms and k in ms[0]]
-        sums = np.array([sum(m[k] for m in ms) for k in keys], np.float64)
-        count = np.array([len(ms)], np.float64)
+        # FIXED static key order: every host contributes identically-shaped
+        # (sums, counts) vectors even when its local image range is empty or
+        # its images lack some metric (lpips/depth differ per image) —
+        # otherwise allgather mismatches across hosts
+        keys = ("psnr", "ssim", "lpips", "depth_mse",
+                "semantic_accuracy", "masked_psnr")
+        sums = np.array(
+            [sum(m[k] for m in ms if k in m) for k in keys], np.float64
+        )
+        counts = np.array(
+            [sum(1.0 for m in ms if k in m) for k in keys], np.float64
+        )
+        n_imgs = np.array([float(len(ms))], np.float64)
         if n_host > 1:
             from nerf_kbs_tpu.parallel.multihost import all_sum_host_values
 
-            sums, count = all_sum_host_values(sums, count)
-        out = {k: float(s / max(count[0], 1.0)) for k, s in zip(keys, sums)}
-        out["num_images"] = int(count[0])
+            sums, counts, n_imgs = all_sum_host_values(sums, counts, n_imgs)
+        out = {
+            k: float(s / c)
+            for k, s, c in zip(keys, sums, counts)
+            if c > 0
+        }
+        out["num_images"] = int(n_imgs[0])
         return out
 
     # ------------------------------------------------------------ checkpoint

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -69,10 +70,13 @@ def _to_png(arr: np.ndarray) -> bytes:
 
 class ViewerServer:
     def __init__(self, trainer=None, eval_image_dir: str | None = None,
-                 port: int = 7007):
+                 port: int = 7007, host: str | None = None):
+        if host is None:
+            host = os.environ.get("NKT_VIEWER_HOST", "127.0.0.1")
         self.trainer = trainer
         self.eval_image_dir = Path(eval_image_dir) if eval_image_dir else None
         self.port = port
+        self.host = host
         self._render_lock = threading.Lock()
         self.last_metrics: dict = {}
         viewer = self
@@ -120,7 +124,9 @@ class ViewerServer:
                 except Exception as e:  # surface errors to the client
                     self._send(500, json.dumps({"error": str(e)}).encode())
 
-        self._server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        # loopback by default: /render and /orbit occupy the device on
+        # demand and serve checkpoint contents — opt into exposure via host=
+        self._server = ThreadingHTTPServer((host, port), Handler)
 
     # ------------------------------------------------------------- handlers
     def status(self) -> dict:
@@ -198,7 +204,7 @@ class ViewerServer:
 
     # ------------------------------------------------------------ lifecycle
     def serve_forever(self):
-        print(f"viewer listening on http://0.0.0.0:{self.port}", flush=True)
+        print(f"viewer listening on http://{self.host}:{self.port}", flush=True)
         self._server.serve_forever()
 
     def start_background(self):

@@ -182,6 +182,10 @@ def nerfacto_tpu_method() -> MethodSpec:
         # quality gap closing by wall-clock (measured 930k rays/s at 30.97
         # eval PSNR @3k steps with 16k-ray batches; PARITY.md study table)
         num_proposal_samples_per_ray=(128, 48),
+        # mip-NeRF 360 sampling semantics: detach the PDF resample so
+        # proposal nets train only via the interlevel loss. Deletes the
+        # sampler backward + all field position-gradients (~1.5x step)
+        stop_grad_sampling=True,
     )
     # lr 1e-3 (reference optimizer point) is stable for the fourier field;
     # global-norm clipping guards the early high-frequency phase (lr >= 1e-2

@@ -399,7 +399,8 @@ def fused_enabled(cfg_encoding: str) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _fourier_fused_call(params_key: str, params, fourier_cfg, mlp_cfg, x_t, window):
+def _fourier_fused_call(params_key: str, params, fourier_cfg, mlp_cfg, x_t, window,
+                        need_dx: bool = True):
     """Shared fused evaluation: x_t (3, R, S) RAW positions -> (out, R, S)."""
     import numpy as np
 
@@ -426,17 +427,19 @@ def _fourier_fused_call(params_key: str, params, fourier_cfg, mlp_cfg, x_t, wind
         interpret=_fused_interpret(),
         bf16=jnp.dtype(mlp_cfg.compute_dtype) == jnp.bfloat16,
         basis=fourier_cfg.basis,
+        need_dx=need_dx,
     )
     out = fourier_mlp(spec, x, B, ws, bs)  # (out_dim, R*S)
     return out.reshape(-1, R, S)
 
 
 def density_field_apply_t(params: dict, cfg: DensityFieldConfig, x_t: jnp.ndarray,
-                          window=None):
+                          window=None, need_dx: bool = True):
     """Coordinate-major density eval: x_t (3, R, S) -> density (R, S).
     Fourier encoding only (the fused TPU operating point)."""
     assert cfg.encoding == "fourier", "fused path is fourier-only"
-    out = _fourier_fused_call("fourier_B", params, cfg.fourier, cfg.mlp, x_t, window)
+    out = _fourier_fused_call("fourier_B", params, cfg.fourier, cfg.mlp, x_t, window,
+                              need_dx=need_dx)
     return trunc_exp(out[0] - 1.0)
 
 
@@ -448,6 +451,7 @@ def nerfacto_field_apply_t(
     camera_indices: jnp.ndarray,
     train: bool = True,
     window=None,
+    need_dx: bool = True,
 ) -> dict:
     """Fused coordinate-major field eval.
 
@@ -501,6 +505,7 @@ def nerfacto_field_apply_t(
             interpret=_fused_interpret(),
             bf16=jnp.dtype(cfg.compute_dtype) == jnp.bfloat16,
             basis=cfg.fourier.basis,
+            need_dx=need_dx,
         )
         out4 = fourier_field_mlp(
             spec, x, feats_t, B, ws, bs, list(rgb["w"]), list(rgb["b"])
@@ -510,7 +515,8 @@ def nerfacto_field_apply_t(
             "rgb_t": out4[1:].reshape(3, R, S),
         }
 
-    h = _fourier_fused_call("fourier_B", params, cfg.fourier, cfg.base_mlp, x_t, window)
+    h = _fourier_fused_call("fourier_B", params, cfg.fourier, cfg.base_mlp, x_t,
+                            window, need_dx=need_dx)
     density = trunc_exp(h[0] - 1.0)
     geo = h[1:]  # (geo_feat_dim, R, S)
     rgb_in = jnp.concatenate(

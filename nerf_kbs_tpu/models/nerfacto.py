@@ -95,6 +95,13 @@ class NerfactoConfig:
     proposal_weights_anneal_slope: float = 10.0
     proposal_weights_anneal_max_num_iters: int = 1000
     use_single_jitter: bool = True
+    # detach the PDF resample (mip-NeRF 360 training semantics: proposal nets
+    # learn only through the interlevel loss). False = reference/nerfstudio
+    # semantics (gradients flow through the gather-based inverse CDF into
+    # sample positions). True is the TPU operating point: it deletes the
+    # O(R*S*Q) sampler backward and every field position-gradient
+    # (measured ~1.5x step speedup at 16k rays, equal quality).
+    stop_grad_sampling: bool = False
     predict_normals: bool = False
     disable_scene_contraction: bool = False
     pass_semantic_gradients: bool = False
@@ -260,6 +267,9 @@ def forward(
         fused_enabled(cfg.field_type)
         and not cfg.predict_normals
         and not compute_normals
+        # the fused kernels bake in scene contraction; with contraction
+        # disabled the standard path's normalize_aabb branch must run
+        and not cfg.disable_scene_contraction
     )
 
     anneal = (
@@ -280,9 +290,19 @@ def forward(
             nerfacto_field_apply_t,
         )
 
+        # positions are autodiff constants iff sampling is detached and rays
+        # don't depend on params (camera optimizer off); the kernels then
+        # skip their position-gradient matmuls. Round 0 samples are uniform
+        # (never parameter-dependent), so only the camera opt matters there.
+        cam_on = cfg.camera_optimizer != "off"
+        need_dx = [cam_on] + [
+            cam_on or not cfg.stop_grad_sampling
+            for _ in range(cfg.num_proposal_iterations - 1)
+        ]
         density_fns = [
             (lambda pos_t, p=params["proposal_networks"][i], c=cfg.proposal_field(i),
-             w=prop_windows[i]: density_field_apply_t(p, c, pos_t, window=w))
+             w=prop_windows[i], nd=need_dx[i]:
+             density_field_apply_t(p, c, pos_t, window=w, need_dx=nd))
             for i in range(cfg.num_proposal_iterations)
         ]
         samples, history = proposal_sample(
@@ -295,6 +315,7 @@ def forward(
             anneal=anneal,
             single_jitter=cfg.use_single_jitter,
             positions_of=lambda s: s.positions_t(rays),
+            stop_grad=cfg.stop_grad_sampling,
         )
         field_out = nerfacto_field_apply_t(
             params["fields"],
@@ -304,6 +325,7 @@ def forward(
             rays.camera_indices,
             train=train,
             window=field_window,
+            need_dx=cam_on or not cfg.stop_grad_sampling,
         )
     else:
         density_fns = [
@@ -320,6 +342,7 @@ def forward(
             key=key if train else None,
             anneal=anneal,
             single_jitter=cfg.use_single_jitter,
+            stop_grad=cfg.stop_grad_sampling,
         )
         field_out = nerfacto_field_apply(
             params["fields"],

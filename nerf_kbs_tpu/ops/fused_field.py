@@ -62,6 +62,11 @@ class FusedMLPSpec:
     # interpolation — and cost ~4 VPU ops vs ~20 for sin/cos (the v5e
     # transcendental rate, ~5e10/s, is the fourier field's wall)
     basis: str = "sincos"
+    # position-gradient path: when the caller's positions are constants
+    # (stop-gradded sampling + no camera optimizer) the backward kernel skips
+    # the ds/dc/dproj/dx matmuls and returns zero dx. MUST be True whenever
+    # positions require gradients — the VJP silently returns zeros otherwise.
+    need_dx: bool = True
 
     @property
     def num_layers(self) -> int:
@@ -262,18 +267,21 @@ def _bwd_body(spec: FusedMLPSpec, x_ref, B_ref, wb_refs, g_ref,
                             preferred_element_type=f32),
     )
     acc(dwb_refs[2], jnp.sum(dh, axis=1, keepdims=True))
-    ds = jax.lax.dot_general(
-        wb_refs[0][:].astype(cdt), dh_b, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )  # (H, T)
-    dc = jax.lax.dot_general(
-        wb_refs[1][:].astype(cdt), dh_b, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )
-    dproj = ds * dsdu + dc * dcdu
-    dx_ref[:] = jax.lax.dot_general(
-        Bm, dproj, (((1,), (0,)), ((), ())), preferred_element_type=f32
-    ).astype(dx_ref.dtype)
+    if spec.need_dx:
+        ds = jax.lax.dot_general(
+            wb_refs[0][:].astype(cdt), dh_b, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (H, T)
+        dc = jax.lax.dot_general(
+            wb_refs[1][:].astype(cdt), dh_b, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dproj = ds * dsdu + dc * dcdu
+        dx_ref[:] = jax.lax.dot_general(
+            Bm, dproj, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        ).astype(dx_ref.dtype)
+    else:
+        dx_ref[:] = jnp.zeros_like(dx_ref)
 
 
 def _const_spec(shape):
@@ -440,6 +448,8 @@ class FusedFieldSpec:
     interpret: bool = False
     bf16: bool = True
     basis: str = "sincos"
+    # see FusedMLPSpec.need_dx
+    need_dx: bool = True
 
     @property
     def geo_dim(self) -> int:
@@ -579,11 +589,14 @@ def _field_bwd_body(spec: FusedFieldSpec, x_ref, feat_ref, B_ref,
         spec.base_dims, base_refs, dbase_refs, acc, pre_b, acts_b, d_base_out,
         cdt, f32,
     )
-    H = spec.h_freqs
-    dproj = d_enc[:H] * dsdu + d_enc[H:] * dcdu
-    dx_ref[:] = jax.lax.dot_general(
-        Bm, dproj, (((1,), (0,)), ((), ())), preferred_element_type=f32
-    ).astype(dx_ref.dtype)
+    if spec.need_dx:
+        H = spec.h_freqs
+        dproj = d_enc[:H] * dsdu + d_enc[H:] * dcdu
+        dx_ref[:] = jax.lax.dot_general(
+            Bm, dproj, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        ).astype(dx_ref.dtype)
+    else:
+        dx_ref[:] = jnp.zeros_like(dx_ref)
 
 
 def _field_wb_list(ws, bs):

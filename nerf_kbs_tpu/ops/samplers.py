@@ -226,6 +226,7 @@ def pdf_sampler(
     single_jitter: bool = True,
     histogram_padding: float = 0.01,
     include_original: bool = False,
+    stop_grad: bool = False,
 ) -> RaySamples:
     """Inverse-CDF resampling of ``num_samples`` new intervals from per-bin
     ``weights`` (R, S_old), in the spacing domain (deterministic spaced
@@ -234,7 +235,19 @@ def pdf_sampler(
     ``include_original=True`` merges the existing bin edges into the resampled
     ones (sorted union), so downstream fields see coarse + fine samples
     (nerfstudio PDFSampler include_original; used by vanilla-NeRF).
+
+    ``stop_grad=True`` cuts the autodiff graph through resampling (mip-NeRF
+    360 semantics: proposal nets train only through the interlevel loss, not
+    through sample positions). Besides matching that training recipe, it
+    removes the O(R*S*Q) _bracket_values backward volumes AND makes every
+    downstream field-eval position a constant — the dominant backward-pass
+    cost at the TPU flagship point (measured: full train step 16.0 -> ~11 ms
+    at 16k rays). The torch reference (nerfstudio PDFSampler) leaves the
+    gather-based inverse CDF differentiable, so parity configs keep False.
     """
+    if stop_grad:
+        weights = jax.lax.stop_gradient(weights)
+        ray_samples = jax.tree.map(jax.lax.stop_gradient, ray_samples)
     R, S_old = weights.shape
     # per-bin padding (nerfstudio PDFSampler adds histogram_padding to each
     # bin, not 0.01 spread across the row)
@@ -317,6 +330,7 @@ def proposal_sample(
     anneal: jnp.ndarray | float = 1.0,
     single_jitter: bool = True,
     positions_of: Optional[Callable] = None,
+    stop_grad: bool = False,
 ):
     """Run the proposal chain: initial stratified sampling -> per-round density
     eval -> annealed PDF resample. Returns (final RaySamples,
@@ -325,6 +339,9 @@ def proposal_sample(
     density_fns[i] maps (R, S, 3) positions -> (R, S) density. ``positions_of``
     overrides how positions are produced from samples (the fused TPU path
     supplies coordinate-major (3, R, S) positions and matching density_fns).
+    ``stop_grad`` detaches each PDF resample (see pdf_sampler); the history
+    list keeps the pre-detach weights, so the interlevel loss still trains
+    the proposal networks.
     """
     from nerf_kbs_tpu.ops.rendering import render_weights
 
@@ -351,5 +368,6 @@ def proposal_sample(
             spacing=spacing,
             key=keys[i + 1],
             single_jitter=single_jitter,
+            stop_grad=stop_grad,
         )
     return samples, history

@@ -26,12 +26,22 @@ def initialize(
     global_devices}."""
     if num_processes is None:
         num_processes = int(os.environ.get("NKT_NUM_PROCESSES", "1"))
-    if num_processes > 1 and jax.process_count() == 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    if num_processes > 1:
+        # must not touch the backend (jax.process_count() would initialize
+        # it) before jax.distributed.initialize; inspect the distributed
+        # client state directly
+        try:
+            from jax._src.distributed import global_state
+
+            needs_init = global_state.client is None
+        except Exception:
+            needs_init = True
+        if needs_init:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

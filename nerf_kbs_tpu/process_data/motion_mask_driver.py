@@ -54,9 +54,14 @@ class MotionMaskConfig:
     instance_mask_dir: Optional[str] = None
     # panoptic KITTI-STEP annotation dir (converted to dynamic-class masks)
     panoptic_dir: Optional[str] = None
-    # with neither instance masks nor panoptic annotations, extract object
-    # proposals as connected components of the hard motion mask so per-object
-    # fusion still runs (self-contained end-to-end mode)
+    # learned instance segmenter checkpoint (networks/segmenter.py .npz,
+    # trained by tools/train_segmenter.py) — the Mask R-CNN-equivalent path:
+    # centroid-offset voting separates touching movers that connected
+    # components merge
+    segmenter_ckpt: Optional[str] = None
+    # with neither instance masks, panoptic annotations, nor a segmenter,
+    # extract object proposals as connected components of the hard motion
+    # mask so per-object fusion still runs (self-contained end-to-end mode)
     instances_from_motion: bool = True
     min_instance_area: int = 64
     monodepth_dir: Optional[str] = None  # monodepth2 ckpt dir (else random init)
@@ -147,6 +152,11 @@ def run(cfg: MotionMaskConfig, max_frames: Optional[int] = None) -> dict:
         raft_vars = load_raft_weights(cfg.raft_ckpt)
     else:
         raft_vars = raft.init(jax.random.PRNGKey(cfg.seed + 1), cfg.height, cfg.width)
+    segmenter = None
+    if cfg.segmenter_ckpt:
+        from nerf_kbs_tpu.process_data.networks.segmenter import load_segmenter
+
+        segmenter = load_segmenter(cfg.segmenter_ckpt)
 
     out_root = Path(cfg.output_path)
     subdirs = {
@@ -207,6 +217,17 @@ def run(cfg: MotionMaskConfig, max_frames: Optional[int] = None) -> dict:
                     pano = np.asarray(im)
                 dyn = MM.panoptic_to_dynamic_mask(pano)
                 combined, _ = MM.fuse_instance_motion_mask(1.0 - dyn, hard, cfg.m_th)
+        elif segmenter is not None:
+            # learned instance extraction (Mask R-CNN-equivalent path)
+            from nerf_kbs_tpu.process_data.networks.segmenter import (
+                extract_instances, make_inputs, predict,
+            )
+
+            seg_model, seg_vars = segmenter
+            fg, off = predict(seg_model, seg_vars, make_inputs(img_a, prob, optical))
+            inst = extract_instances(fg, off, min_area=cfg.min_instance_area)
+            if inst.max() > 0:
+                combined = 1 - MM.per_object_fusion(inst, hard, cfg.m_th)
         elif cfg.instances_from_motion:
             # no external segmentation: motion blobs as object proposals
             inst = MM.instances_from_components(hard, cfg.min_instance_area)

@@ -67,15 +67,22 @@ class DepthDecoder(nn.Module):
 
 class PoseDecoder(nn.Module):
     """Pose head on the last encoder feature of a stacked frame pair ->
-    (axisangle (B, 3), translation (B, 3)), scaled by 0.01 like monodepth2."""
+    (axisangle (B, 3), translation (B, 3)), scaled by 0.01 like monodepth2.
+
+    The official pose head predicts ``6 * num_frames`` channels (monodepth2
+    ships num_frames_to_predict_for=2) and the driver consumes frame 0 —
+    mirrored here so the public ``pose.pth`` ports shape-exactly."""
+
+    num_frames: int = 2
 
     @nn.compact
     def __call__(self, feat):
         x = nn.relu(nn.Conv(256, (1, 1), name="squeeze")(feat))
         x = nn.relu(nn.Conv(256, (3, 3), (1, 1), padding=1, name="pose_0")(x))
         x = nn.relu(nn.Conv(256, (3, 3), (1, 1), padding=1, name="pose_1")(x))
-        x = nn.Conv(6, (1, 1), name="pose_2")(x)
-        x = 0.01 * jnp.mean(x, axis=(1, 2))  # (B, 6)
+        x = nn.Conv(6 * self.num_frames, (1, 1), name="pose_2")(x)
+        x = 0.01 * jnp.mean(x, axis=(1, 2))  # (B, 6 * num_frames)
+        x = x.reshape(x.shape[0], self.num_frames, 6)[:, 0]  # frame 0
         return x[:, :3], x[:, 3:]
 
 
@@ -187,12 +194,20 @@ def load_monodepth2_weights(model_dir: str) -> dict:
     from pathlib import Path
 
     d = Path(model_dir)
+
+    def resnet_prefix(sd: dict) -> str:
+        # the official ResnetEncoder wraps torchvision resnet as self.encoder,
+        # so both encoder.pth and pose_encoder.pth carry an 'encoder.' prefix;
+        # accept prefix-less torchvision dicts too
+        return "encoder." if "encoder.conv1.weight" in sd else ""
+
     enc_sd = _load_state_dict(str(d / "encoder.pth"))
     enc_sd = {k: v for k, v in enc_sd.items() if not k.startswith("height")
               and not k.startswith("width") and not k.startswith("use_stereo")}
-    enc = load_torch_resnet({}, enc_sd, prefix="encoder.")
+    enc = load_torch_resnet({}, enc_sd, prefix=resnet_prefix(enc_sd))
     depth = _port_depth_decoder(_load_state_dict(str(d / "depth.pth")))
-    penc = load_torch_resnet({}, _load_state_dict(str(d / "pose_encoder.pth")))
+    penc_sd = _load_state_dict(str(d / "pose_encoder.pth"))
+    penc = load_torch_resnet({}, penc_sd, prefix=resnet_prefix(penc_sd))
     pose = _port_pose_decoder(_load_state_dict(str(d / "pose.pth")))
     return {
         "encoder": enc,

@@ -214,3 +214,68 @@ def test_camera_optimizer_group_and_grads():
 
     g = jax.grad(loss_fn)(params)
     assert float(jnp.abs(g["camera_opt"]).sum()) > 0
+
+
+def test_stop_grad_sampling_forward_identical_and_grads_flow():
+    """stop_grad_sampling detaches resampling (mip-NeRF 360 semantics): the
+    forward pass is bit-identical, and proposal nets still receive gradient
+    through the interlevel loss."""
+    cfg_ref = dataclasses.replace(TINY, field_type="fourier", fourier_num_levels=3)
+    cfg_sg = dataclasses.replace(cfg_ref, stop_grad_sampling=True)
+    params = nerfacto.init(jax.random.PRNGKey(0), cfg_ref)
+    rays = make_rays(8)
+    batch = {"image": jnp.full((8, 3), 0.3)}
+
+    out_ref = nerfacto.forward(params, cfg_ref, rays, key=jax.random.PRNGKey(2), step=500)
+    out_sg = nerfacto.forward(params, cfg_sg, rays, key=jax.random.PRNGKey(2), step=500)
+    np.testing.assert_array_equal(np.asarray(out_ref["rgb"]), np.asarray(out_sg["rgb"]))
+    np.testing.assert_array_equal(
+        np.asarray(out_ref["depth"]), np.asarray(out_sg["depth"])
+    )
+
+    def loss_fn(p):
+        out = nerfacto.forward(p, cfg_sg, rays, key=jax.random.PRNGKey(2), step=500)
+        return nerfacto.loss(cfg_sg, out, batch)[0]
+
+    g = jax.grad(loss_fn)(params)
+    assert float(jnp.abs(g["fields"]["base_mlp"]["w"][0]).sum()) > 0
+    assert float(jnp.abs(g["fields"]["rgb_mlp"]["w"][0]).sum()) > 0
+
+    # the interlevel path to the proposal nets must stay OPEN: train a few
+    # steps (the hinge is zero at init until the final weights concentrate),
+    # then the proposal grads must be nonzero
+    import optax
+
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    p = params
+    for step in range(30):
+        gs = jax.grad(loss_fn)(p)
+        upd, state = opt.update(gs, state, p)
+        p = optax.apply_updates(p, upd)
+    g2 = jax.grad(loss_fn)(p)
+    assert any(
+        float(jnp.abs(g2["proposal_networks"][i]["mlp"]["w"][0]).sum()) > 0
+        for i in range(2)
+    )
+
+
+def test_pdf_sampler_stop_grad_cuts_weight_gradients():
+    from nerf_kbs_tpu.ops.samplers import pdf_sampler, uniform_sampler
+
+    rays = make_rays(4)
+    rays = dataclasses.replace(
+        rays, nears=jnp.full((4, 1), 0.1), fars=jnp.full((4, 1), 5.0)
+    )
+    us = uniform_sampler(rays, 16, "piecewise", key=jax.random.PRNGKey(0))
+
+    def mean_start(w, stop_grad):
+        s = pdf_sampler(rays, us, w, 8, "piecewise", key=jax.random.PRNGKey(1),
+                        stop_grad=stop_grad)
+        return jnp.mean(s.starts)
+
+    w = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (4, 16))) + 0.1
+    g_open = jax.grad(lambda w: mean_start(w, False))(w)
+    g_cut = jax.grad(lambda w: mean_start(w, True))(w)
+    assert float(jnp.abs(g_open).sum()) > 0
+    assert float(jnp.abs(g_cut).sum()) == 0.0

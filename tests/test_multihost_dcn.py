@@ -1,0 +1,165 @@
+"""Two-process DCN smoke test: REAL jax.distributed.initialize over a local
+coordinator, 4 virtual CPU devices per process (8 global), one fully sharded
+nerfacto train step on each host, and cross-host agreement on the loss.
+
+This exercises multihost.initialize / host_shard_info / all_sum_host_values /
+local_batch_slice in an actual multi-process setting — the capability the
+reference expresses as MachineConfig(num_machines, machine_rank)
+(/root/reference/train.py:44) through torch.distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+_WORKER = r"""
+import json, os, sys
+import numpy as np
+
+rank = int(sys.argv[1])
+port = sys.argv[2]
+out_path = sys.argv[3]
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from nerf_kbs_tpu.parallel.multihost import (
+    all_sum_host_values, host_shard_info, initialize, local_batch_slice,
+)
+
+info = initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=rank
+)
+assert info["process_count"] == 2, info
+assert info["global_devices"] == 8, info
+assert host_shard_info() == (rank, 2)
+
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nerf_kbs_tpu.cameras.cameras import generate_rays
+from nerf_kbs_tpu.data.outputs import DataparserOutputs
+from nerf_kbs_tpu.data.synthetic import orbit_cameras
+from nerf_kbs_tpu.engine.optimizers import OptimizerConfig, build_optimizer
+from nerf_kbs_tpu.models import nerfacto
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+cfg = nerfacto.NerfactoConfig(
+    num_images=4, field_type="fourier", fourier_num_levels=3,
+    num_proposal_samples_per_ray=(16, 8), num_nerf_samples_per_ray=8,
+    proposal_num_levels=3, proposal_max_res=(32, 64),
+    hidden_dim=16, hidden_dim_color=16, appearance_embedding_dim=0,
+)
+params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+optimizer = build_optimizer(
+    {"proposal_networks": OptimizerConfig(lr=1e-2),
+     "fields": OptimizerConfig(lr=1e-2)},
+    nerfacto.param_groups(params),
+)
+opt_state = optimizer.init(params)
+cameras = DataparserOutputs(
+    [], orbit_cameras(4, h=16, w=16), np.array([[-1.0] * 3, [1.0] * 3])
+).cameras()
+
+# deterministic GLOBAL batch (same on both hosts); each host materializes
+# only its local slice and assembles the global sharded array
+GLOBAL_B = 64
+rng = np.random.default_rng(0)
+g_idx = np.stack(
+    [rng.integers(0, 4, GLOBAL_B), rng.integers(0, 16, GLOBAL_B),
+     rng.integers(0, 16, GLOBAL_B)], -1
+).astype(np.int32)
+g_img = rng.uniform(0, 1, (GLOBAL_B, 3)).astype(np.float32)
+sl = local_batch_slice(GLOBAL_B)
+shard = NamedSharding(mesh, P("data"))
+rep = NamedSharding(mesh, P())
+batch = {
+    "ray_indices": jax.make_array_from_process_local_data(
+        shard, g_idx[sl], (GLOBAL_B, 3)
+    ),
+    "image": jax.make_array_from_process_local_data(
+        shard, g_img[sl], (GLOBAL_B, 3)
+    ),
+}
+params = jax.device_put(params, rep)
+opt_state = jax.device_put(opt_state, rep)
+cameras = jax.device_put(cameras, rep)
+
+
+@jax.jit
+def train_step(params, opt_state, batch):
+    rays = generate_rays(cameras, batch["ray_indices"])
+
+    def loss_fn(p):
+        out = nerfacto.forward(
+            p, cfg, rays, key=jax.random.PRNGKey(2), step=100.0, train=True
+        )
+        return nerfacto.loss(cfg, out, batch, train=True)
+
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+
+params, opt_state, loss = train_step(params, opt_state, batch)
+loss = float(loss)
+
+# cross-host metric reduction must see both contributions
+(s,) = all_sum_host_values(np.array([1.0 + rank]))
+assert float(s[0]) == 3.0, s
+
+with open(out_path, "w") as f:
+    json.dump({"rank": rank, "loss": loss}, f)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dcn_train_step(tmp_path):
+    port = _free_port()
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # 4 local devices per process -> 8 global
+    flags = [f for f in env.get("XLA_FLAGS", "").split() if "host_platform" not in f]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parent.parent)
+    procs = []
+    outs = []
+    for rank in range(2):
+        out = tmp_path / f"out_{rank}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker), str(rank), str(port), str(out)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    results = [json.loads(o.read_text()) for o in outs]
+    losses = [r["loss"] for r in results]
+    assert np.isfinite(losses).all()
+    # both hosts computed the same global loss over the sharded batch
+    assert abs(losses[0] - losses[1]) < 1e-6, losses
