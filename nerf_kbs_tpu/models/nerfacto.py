@@ -424,12 +424,16 @@ def loss(
 
     losses = {"rgb_loss": rgb_loss}
     if train:
-        losses["interlevel_loss"] = cfg.interlevel_loss_mult * L.interlevel_loss(
-            outputs["ray_samples"], outputs["weights"], outputs["proposal_history"]
-        )
-        losses["distortion_loss"] = cfg.distortion_loss_mult * L.distortion_loss(
-            outputs["ray_samples"], outputs["weights"]
-        )
+        # zero-mult losses are skipped entirely (not just scaled): the
+        # interlevel loss alone traverses O(R*S*Q) mask volumes
+        if cfg.interlevel_loss_mult > 0:
+            losses["interlevel_loss"] = cfg.interlevel_loss_mult * L.interlevel_loss(
+                outputs["ray_samples"], outputs["weights"], outputs["proposal_history"]
+            )
+        if cfg.distortion_loss_mult > 0:
+            losses["distortion_loss"] = cfg.distortion_loss_mult * L.distortion_loss(
+                outputs["ray_samples"], outputs["weights"]
+            )
         if cfg.predict_normals and "_sample_normals" in outputs:
             losses["orientation_loss"] = cfg.orientation_loss_mult * L.orientation_loss(
                 outputs["weights"], outputs["_sample_normals"], outputs["_view_dirs"]

@@ -37,6 +37,66 @@ def uncertainty_rgb_loss(gt: jnp.ndarray, rgb: jnp.ndarray, betas: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 
+@jax.custom_vjp
+def _outer_cw_bounds(t_env: jnp.ndarray, cw: jnp.ndarray,
+                     t0: jnp.ndarray, t1: jnp.ndarray):
+    """(cw_before, cw_after), each (R, Sq):
+    cw_before = max(0, cw at the RIGHTMOST env edge <= t0)   (0 when none)
+    cw_after  = min(cw at the FIRST env edge > t1, cw[:,-1]) (total when none)
+
+    Forward: ONE variadic lax.reduce over the (R, Se+1, Sq) mask volume —
+    XLA fuses both broadcast masks into a single traversal (separate masked
+    reductions re-materialize the volume; see samplers._bracket_values).
+
+    Backward: cotangents route to the boundary env indices via monotone-mask
+    XOR one-hots in one add-reduce — t_env/t0/t1 are piecewise-constant
+    selectors (zero gradient a.e., matching the XLA-autodiff behavior of the
+    unfused form), only cw carries gradient.
+    """
+    big = jnp.float32(1e10)
+    m_le = t_env[:, :, None] <= t0[:, None, :]
+    m_gt = t_env[:, :, None] > t1[:, None, :]
+    ops = (
+        jnp.where(m_le, cw[:, :, None], -big),
+        jnp.where(m_gt, cw[:, :, None], big),
+    )
+    inits = (jnp.float32(-big), jnp.float32(big))
+
+    def comb(a, b):
+        return (jnp.maximum(a[0], b[0]), jnp.minimum(a[1], b[1]))
+
+    lo, hi = jax.lax.reduce(ops, inits, comb, (1,))
+    return jnp.maximum(lo, 0.0), jnp.minimum(hi, cw[:, -1:])
+
+
+def _outer_cw_fwd(t_env, cw, t0, t1):
+    return _outer_cw_bounds(t_env, cw, t0, t1), (t_env, cw, t0, t1)
+
+
+def _outer_cw_bwd(res, gs):
+    t_env, cw, t0, t1 = res
+    g_lo, g_hi = gs
+    # t_env rows are sorted, so both masks are monotone along the env axis:
+    # m_le = T..TF..F (last true = boundary), m_gt = F..FT..T (first true)
+    m_le = t_env[:, :, None] <= t0[:, None, :]
+    m_gt = t_env[:, :, None] > t1[:, None, :]
+    pad = jnp.zeros_like(m_le[:, :1, :])
+    lo_oh = m_le & ~jnp.concatenate([m_le[:, 1:, :], pad], axis=1)
+    hi_oh = m_gt & ~jnp.concatenate([pad, m_gt[:, :-1, :]], axis=1)
+    # empty m_gt (t1 beyond all edges): clamp selected cw[:, -1] — route there
+    none_gt = ~m_gt[:, -1:, :]  # (R, 1, Sq); monotone => empty iff last False
+    contrib = (
+        lo_oh.astype(jnp.float32) * g_lo[:, None, :]
+        + hi_oh.astype(jnp.float32) * g_hi[:, None, :]
+    )
+    d_cw = jnp.sum(contrib, axis=2)
+    d_cw = d_cw.at[:, -1].add(jnp.sum(none_gt[:, 0, :] * g_hi, axis=-1))
+    return (jnp.zeros_like(t_env), d_cw, jnp.zeros_like(t0), jnp.zeros_like(t1))
+
+
+_outer_cw_bounds.defvjp(_outer_cw_fwd, _outer_cw_bwd)
+
+
 def _outer_weights(t_query: jnp.ndarray, t_env: jnp.ndarray, w_env: jnp.ndarray):
     """For each query interval [t_query_i, t_query_{i+1}), the total envelope
     weight of env bins overlapping it (inclusive outer measure).
@@ -46,22 +106,10 @@ def _outer_weights(t_query: jnp.ndarray, t_env: jnp.ndarray, w_env: jnp.ndarray)
     cw = jnp.concatenate(
         [jnp.zeros_like(w_env[..., :1]), jnp.cumsum(w_env, axis=-1)], axis=-1
     )  # (R, Se+1), monotone non-negative
-
-    big = jnp.float32(1e10)
-
-    def cw_at_or_before(x):
-        """cw at the rightmost env edge <= x (0 when none) — gather-free
-        masked max (see samplers.pdf_sampler for the TPU rationale)."""
-        mask = t_env[:, :, None] <= x[:, None, :]
-        return jnp.maximum(jnp.max(jnp.where(mask, cw[:, :, None], -big), axis=1), 0.0)
-
-    def cw_after(x):
-        """cw at the first env edge > x (total mass when none)."""
-        mask = t_env[:, :, None] > x[:, None, :]
-        out = jnp.min(jnp.where(mask, cw[:, :, None], big), axis=1)
-        return jnp.minimum(out, cw[:, -1:])
-
-    return cw_after(t_query[..., 1:]) - cw_at_or_before(t_query[..., :-1])
+    before, after = _outer_cw_bounds(
+        t_env, cw, t_query[..., :-1], t_query[..., 1:]
+    )
+    return after - before
 
 
 def interlevel_loss(final_samples, final_weights: jnp.ndarray, history) -> jnp.ndarray:

@@ -334,3 +334,52 @@ def test_bracket_values_matches_masked_reduction_gradients():
     gb = jax.grad(lambda *a: loss(oracle, *a), argnums=(0, 1, 2))(cdf, edges, u)
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_outer_weights_fused_vjp_matches_reference():
+    """_outer_weights' fused custom VJP (one volume traversal + boundary
+    one-hot backward) must match a plain XLA masked-reduction implementation
+    in both values and w_env gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.ops.losses import _outer_weights
+
+    def reference(t_query, t_env, w_env):
+        cw = jnp.concatenate(
+            [jnp.zeros_like(w_env[..., :1]), jnp.cumsum(w_env, axis=-1)], axis=-1
+        )
+        big = jnp.float32(1e10)
+
+        def before(x):
+            mask = t_env[:, :, None] <= x[:, None, :]
+            return jnp.maximum(
+                jnp.max(jnp.where(mask, cw[:, :, None], -big), axis=1), 0.0
+            )
+
+        def after(x):
+            mask = t_env[:, :, None] > x[:, None, :]
+            out = jnp.min(jnp.where(mask, cw[:, :, None], big), axis=1)
+            return jnp.minimum(out, cw[:, -1:])
+
+        return after(t_query[..., 1:]) - before(t_query[..., :-1])
+
+    rng = np.random.default_rng(0)
+    R, Se, Sq = 6, 17, 9
+    t_env = jnp.asarray(np.sort(rng.uniform(0, 1, (R, Se + 1)), axis=-1))
+    # queries straddle inside/outside the env range to hit the clamp paths
+    t_query = jnp.asarray(np.sort(rng.uniform(-0.2, 1.2, (R, Sq + 1)), axis=-1))
+    w_env = jnp.asarray(rng.uniform(0.01, 1.0, (R, Se)).astype(np.float32))
+
+    got = _outer_weights(t_query, t_env, w_env)
+    want = reference(t_query, t_env, w_env)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # gradient parity w.r.t. w_env through a nonlinear functional
+    def f(impl, w):
+        out = impl(t_query, t_env, w)
+        return jnp.sum(jnp.sin(3.0 * out) * out)
+
+    g_got = jax.grad(lambda w: f(_outer_weights, w))(w_env)
+    g_want = jax.grad(lambda w: f(reference, w))(w_env)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-4)

@@ -231,6 +231,26 @@ def main():
     dt = scan_time(fwdbwd_body, jnp.float32(0.0), "full fwd+bwd+loss (all grads)")
     print(f"\n=> {B / dt:,.0f} rays/s (fwd+bwd, no optimizer)")
 
+    # 5b) marginal cost of the O(R*S*Q) losses: same fwd+bwd with the
+    # interlevel loss (and then also distortion) gated off
+    import dataclasses as _dcm
+
+    for label, cfg_v in (
+        ("fwd+bwd WITHOUT interlevel", _dcm.replace(cfg, interlevel_loss_mult=0.0)),
+        ("fwd+bwd w/o interlevel+distortion",
+         _dcm.replace(cfg, interlevel_loss_mult=0.0, distortion_loss_mult=0.0)),
+    ):
+        def fwdbwd_v(carry, cfg_v=cfg_v):
+            def loss_fn(p):
+                rays = perturb_rays(rays0, carry * 1e-6)
+                out = nerfacto.forward(p, cfg_v, rays, key=key, step=500.0, train=True)
+                return nerfacto.loss(cfg_v, out, batch, train=True)[0]
+
+            l, g = jax.value_and_grad(loss_fn)(params)
+            return l + ravel_pytree(g)[0].sum() * 1e-12
+
+        scan_time(fwdbwd_v, jnp.float32(0.0), label)
+
     # 6) full train step: fwd+bwd+loss + grad clip + partitioned adam
     import optax
 
