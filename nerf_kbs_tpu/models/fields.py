@@ -501,7 +501,9 @@ def nerfacto_field_apply_t(
             feat_dim=feats_t.shape[0],
             base_dims=tuple([w.shape[0] for w in ws] + [ws[-1].shape[1]]),
             rgb_dims=tuple([w.shape[0] for w in rgb["w"]] + [rgb["w"][-1].shape[1]]),
-            tile=2048 if B.shape[1] > 64 else 4096,
+            # tile sweep on v5e (tmp/bench_tiles): 4096 beats 2048 by ~10%
+            # fwd+bwd at H=128; 8192 exceeds VMEM in the backward kernel
+            tile=4096,
             interpret=_fused_interpret(),
             bf16=jnp.dtype(cfg.compute_dtype) == jnp.bfloat16,
             basis=cfg.fourier.basis,

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--size", type=int, default=128, help="square working size")
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--window", type=int, default=6)
+    ap.add_argument("--clips", type=int, default=1,
+                    help="number of DIFFERENT scenes to train on (seeds 0..N-1)")
+    ap.add_argument("--heldout-scene", action="store_true",
+                    help="evaluate on a FRESH scene (seed 1000) instead of "
+                         "held-out frames of the training scene")
     ap.add_argument("--out", default="outputs/inpaint_validation")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -61,15 +66,28 @@ def main():
     )
 
     h = w = args.size
-    print(f"rendering {args.frames} frames at {h}x{w} ...", flush=True)
-    boxes = make_scene(0, args.frames * 0.8 + 90.0)
-    poses = make_poses(args.frames, step=0.8)
-    clip = np.stack(
-        [render_frame(p, boxes, h, w)[0] for p in poses]
-    ).astype(np.float32)
-    n_train = min(args.frames * 3 // 4, args.frames - args.window)
-    train_clip = jnp.asarray(clip[:n_train])
-    eval_clip = jnp.asarray(clip[n_train:])
+
+    def render_clip(seed: int, n_frames: int) -> np.ndarray:
+        boxes = make_scene(seed, n_frames * 0.8 + 90.0)
+        poses = make_poses(n_frames, step=0.8)
+        return np.stack(
+            [render_frame(p, boxes, h, w)[0] for p in poses]
+        ).astype(np.float32)
+
+    print(f"rendering {args.clips} clip(s) x {args.frames} frames at {h}x{w} ...",
+          flush=True)
+    clips = [render_clip(s, args.frames) for s in range(args.clips)]
+    if args.heldout_scene:
+        # harder protocol: the eval clip is a scene the generator NEVER saw
+        train_clips = [jnp.asarray(c) for c in clips]
+        eval_clip = jnp.asarray(render_clip(1000, args.frames))
+    else:
+        n_train = min(args.frames * 3 // 4, args.frames - args.window)
+        train_clips = [jnp.asarray(clips[0][:n_train])]
+        train_clips += [jnp.asarray(c) for c in clips[1:]]
+        eval_clip = jnp.asarray(clips[0][n_train:])
+    train_clip = train_clips[0]  # for init shapes
+    n_train = int(train_clip.shape[0])
 
     gen = InpaintGenerator(InpaintConfig())
     key = jax.random.PRNGKey(0)
@@ -107,10 +125,12 @@ def main():
     print(f"baseline untrained generator:     {baseline_untrained:.2f}", flush=True)
 
     t0 = time.time()
+    rng_host = np.random.default_rng(0)
     for i in range(args.steps):
         k = jax.random.fold_in(key, i)
-        s = int(jax.random.randint(jax.random.fold_in(k, 1), (), 0, n_train - T))
-        fr = train_clip[s : s + T]
+        clip_i = train_clips[int(rng_host.integers(0, len(train_clips)))]
+        s = int(rng_host.integers(0, int(clip_i.shape[0]) - T))
+        fr = clip_i[s : s + T]
         mk = random_stroke_masks(jax.random.fold_in(k, 2), T, h, w)
         variables, opt_state, loss = step_fn(
             variables, opt_state, fr[None], mk[None]
@@ -131,6 +151,8 @@ def main():
         "steps": args.steps,
         "frames": args.frames,
         "size": args.size,
+        "clips": args.clips,
+        "heldout_scene": bool(args.heldout_scene),
     }
 
     # full driver pass: write frames+masks to disk, run sliding-window driver
