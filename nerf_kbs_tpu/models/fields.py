@@ -496,14 +496,26 @@ def nerfacto_field_apply_t(
         if window is not None:
             ws[0] = ws[0] * jnp.concatenate([window, window])[:, None]
         rgb = params["rgb_mlp"]
+        base_dims = tuple([w.shape[0] for w in ws] + [ws[-1].shape[1]])
+        rgb_dims = tuple([w.shape[0] for w in rgb["w"]] + [rgb["w"][-1].shape[1]])
+        # tile vs the 16M scoped-VMEM limit: 4096 beats 2048 by ~10% fwd+bwd
+        # at flagship width (H=128, hidden 128) but only without the dx path
+        # (dx at 4096 measured 17.03M > 16M). Wider fields (capacity runs:
+        # H=192-256, hidden 256-384) scale the live activations ~linearly in
+        # 2H + 3*width, so shrink the tile as width grows (anchor: flagship
+        # load 640 fits at 4096 without dx; round-2 big field load ~1150 fit
+        # at 2048 WITH dx).
+        load = 2 * B.shape[1] + 3 * max(base_dims + rgb_dims)
+        if need_dx or load > 700:
+            tile = 2048 if load <= 1400 else 1024
+        else:
+            tile = 4096
         spec = FusedFieldSpec(
             h_freqs=B.shape[1],
             feat_dim=feats_t.shape[0],
-            base_dims=tuple([w.shape[0] for w in ws] + [ws[-1].shape[1]]),
-            rgb_dims=tuple([w.shape[0] for w in rgb["w"]] + [rgb["w"][-1].shape[1]]),
-            # tile sweep on v5e (tmp/bench_tiles): 4096 beats 2048 by ~10%
-            # fwd+bwd at H=128; 8192 exceeds VMEM in the backward kernel
-            tile=4096,
+            base_dims=base_dims,
+            rgb_dims=rgb_dims,
+            tile=tile,
             interpret=_fused_interpret(),
             bf16=jnp.dtype(cfg.compute_dtype) == jnp.bfloat16,
             basis=cfg.fourier.basis,

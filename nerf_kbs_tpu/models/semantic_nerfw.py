@@ -105,6 +105,7 @@ def forward(
         cfg.num_nerf_samples_per_ray, spacing=cfg.proposal_initial_sampler,
         key=key if train else None, anneal=anneal,
         single_jitter=cfg.use_single_jitter,
+        stop_grad=cfg.stop_grad_sampling,
     )
     field_out = nerfacto_field_apply(
         params["fields"], cfg.field, samples.positions(rays), rays.directions,

@@ -170,30 +170,23 @@ def extract_instances(
         for dy in (-1, 0, 1)
         for dx in (-1, 0, 1)
     )
-    # candidate centers: cells that are their own 3x3 argmax with enough
-    # votes; ties broken by raster order (strict > against earlier neighbors,
-    # >= against later ones keeps exactly one of an equal pair)
-    is_max = np.ones_like(hist, bool)
-    spad = np.pad(smooth, 1, constant_values=-1)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            nb = spad[1 + dy : 1 + dy + gh, 1 + dx : 1 + dx + gw]
-            if (dy, dx) < (0, 0):
-                is_max &= smooth > nb
-            else:
-                is_max &= smooth >= nb
-    cand = np.argwhere(is_max & (smooth >= min_votes))
-    if len(cand) == 0:
-        return np.zeros((h, w), np.int32)
-    # refine centers: mean of votes landing in each candidate's 3x3 block
+    # greedy peak-pick (deterministic NMS): repeatedly take the best-voted
+    # cell that still holds raw votes, refine its center as the mean of the
+    # votes in its 3x3 block, then suppress that block. Plateau-proof where
+    # a raster tie-break is not (perfectly concentrated votes make flat
+    # smoothed neighborhoods).
+    score = np.where(hist > 0, smooth, 0)
     centers = []
-    for gy, gx in cand:
+    for _ in range(int(score.size)):
+        gy, gx = np.unravel_index(int(np.argmax(score)), score.shape)
+        if score[gy, gx] < min_votes:
+            break
         m = (np.abs(cy - gy) <= 1) & (np.abs(cx - gx) <= 1)
-        if m.sum() == 0:
-            continue
-        centers.append((vy[m].mean(), vx[m].mean()))
+        if m.any():
+            centers.append((vy[m].mean(), vx[m].mean()))
+        y0, y1 = max(gy - 1, 0), min(gy + 2, gh)
+        x0, x1 = max(gx - 1, 0), min(gx + 2, gw)
+        score[y0:y1, x0:x1] = 0
     if not centers:
         return np.zeros((h, w), np.int32)
     centers = np.array(centers)  # (K, 2)

@@ -119,3 +119,73 @@ def test_inpaint_generator_fills_holes_shape():
     out = gen.apply(v, frames, masks)
     assert out.shape == (1, 4, 32, 40, 3)
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_segmenter_targets_and_extraction_separate_touching_blobs():
+    """Centroid-offset voting must separate two ADJACENT objects that a
+    connected-component pass merges (the Mask R-CNN-equivalent capability;
+    reference motion_mask_util.py:337-392)."""
+    from nerf_kbs_tpu.process_data.motion_mask import instances_from_components
+    from nerf_kbs_tpu.process_data.networks.segmenter import (
+        extract_instances, make_targets,
+    )
+
+    h, w = 96, 128
+    inst = np.zeros((h, w), np.int32)
+    inst[30:60, 20:50] = 1   # two touching rectangles (no gap)
+    inst[30:60, 50:80] = 2
+
+    fg, off, valid = make_targets(inst, offset_scale=64.0)
+    assert fg.sum() == (inst > 0).sum()
+    # offsets point at each object's centroid
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    cy1 = ys[inst == 1].mean()
+    np.testing.assert_allclose(
+        (ys + off[..., 0] * 64.0)[inst == 1], cy1, atol=1e-3
+    )
+
+    # PERFECT predictions: extraction recovers two instances
+    labels = extract_instances(fg, off * 64.0, min_votes=20, min_area=50)
+    found = [labels[inst == n] for n in (1, 2)]
+    ids = [np.bincount(f[f > 0]).argmax() for f in found]
+    assert labels.max() == 2
+    assert ids[0] != ids[1]
+    for n, i in zip((1, 2), ids):
+        inter = np.logical_and(inst == n, labels == i).sum()
+        union = np.logical_or(inst == n, labels == i).sum()
+        assert inter / union > 0.9
+
+    # connected components CANNOT: the merged blob is a single instance
+    cc = instances_from_components((inst > 0).astype(np.uint8))
+    assert cc.max() == 1
+
+
+def test_segmenter_model_and_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.process_data.networks.segmenter import (
+        InstanceSegmenter, SegmenterConfig, load_segmenter, save_segmenter,
+        segmenter_loss,
+    )
+
+    model = InstanceSegmenter(SegmenterConfig())
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 48, 6))
+    v = model.init(jax.random.PRNGKey(1), x)
+    out = model.apply(v, x)
+    assert out.shape == (2, 32, 48, 3)
+
+    batch = {
+        "x": x,
+        "fg": jnp.zeros((2, 32, 48)).at[:, 8:16, 8:16].set(1.0),
+        "off": jnp.zeros((2, 32, 48, 2)),
+        "valid": jnp.zeros((2, 32, 48)).at[:, 8:16, 8:16].set(1.0),
+    }
+    loss, metrics = segmenter_loss(model, v, batch)
+    assert np.isfinite(float(loss)) and "fg_acc" in metrics
+
+    p = tmp_path / "seg.npz"
+    save_segmenter(str(p), v)
+    model2, v2 = load_segmenter(str(p))
+    out2 = model2.apply(v2, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
