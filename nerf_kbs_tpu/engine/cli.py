@@ -232,6 +232,11 @@ def main(argv: Optional[list[str]] = None) -> None:
     frame_range = overrides.pop("render-frame-range", None)  # "lo,hi"
     ring_view = overrides.pop("render-ring-view", "false").lower() in ("1", "true")
     serve_port = int(overrides.pop("serve", "0") or 0)
+    # --viewer-port N: serve the interactive viewer DURING training (live
+    # renders from the current params + free orbit camera; the reference's
+    # vis='viewer' experience, train.py:100, over HTTP instead of websocket)
+    viewer_port = int(overrides.pop("viewer-port",
+                                    overrides.pop("viewer_port", "0")) or 0)
 
     spec = apply_overrides(method_registry[method](), overrides)
     trainer = build_trainer(spec)
@@ -264,6 +269,16 @@ def main(argv: Optional[list[str]] = None) -> None:
         )
         print(f"rendered {len(written)} frames to {render_dir}")
         return
+    if viewer_port:
+        from nerf_kbs_tpu.engine.viewer import ViewerServer
+
+        viewer = ViewerServer(
+            trainer, eval_image_dir=str(trainer.out_dir / "eval_images"),
+            port=viewer_port,
+        )
+        print(f"live viewer on http://{viewer.host}:{viewer.port} "
+              "(/status /render /orbit /latest)", flush=True)
+        viewer.start_background()
     metrics = trainer.train()
     final = trainer.eval_all_images()
     trainer.save_checkpoint()

@@ -89,3 +89,58 @@ def test_build_trainer_synthetic_and_num_images(tmp_path):
     assert trainer.model_config.num_images == len(trainer.dm.train_cameras)
     m = trainer.train(num_iterations=3)
     assert "total_loss" in m
+
+
+def test_cli_live_viewer_during_training(tmp_path):
+    """--viewer-port serves /status and live /render from the CURRENT
+    training params while trainer.train() runs (the reference's vis='viewer'
+    during-training experience, train.py:100)."""
+    import json
+    import socket
+    import threading
+    import time
+    import urllib.request
+
+    from nerf_kbs_tpu.engine.cli import main
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    argv = [
+        "synthetic-nerfacto",
+        "--trainer.max_num_iterations=40",
+        "--trainer.steps_per_eval_image=1000",
+        "--trainer.steps_per_save=1000000",
+        f"--trainer.output_dir={tmp_path}",
+        f"--viewer-port={port}",
+    ]
+    err = []
+
+    def run():
+        try:
+            main(argv)
+        except BaseException as e:  # surface into the test
+            err.append(e)
+
+    t = threading.Thread(target=run)
+    t.start()
+    try:
+        st = None
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            try:
+                st = json.loads(urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/status", timeout=10).read())
+                break
+            except Exception:
+                time.sleep(1.0)
+        assert st is not None, "viewer never came up"
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?cam=0&kind=rgb", timeout=300
+        ).read()
+        assert png[:4] == b"\x89PNG"
+    finally:
+        t.join(timeout=600)
+    assert not err, err

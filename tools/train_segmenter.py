@@ -93,15 +93,21 @@ def static_reprojection_flow(pose_a, pose_b, zdepth, fx, fy, cx, cy):
     return np.stack([u1 - xs, v1 - ys], axis=0).astype(np.float32)  # (2, H, W)
 
 
+def moving_probability_np(optical: np.ndarray, rigid: np.ndarray) -> np.ndarray:
+    """Pure-numpy mirror of motion_mask.moving_probability (the jnp version
+    would dispatch per-frame to the remote TPU during data generation)."""
+    o = optical / max(float(np.abs(optical).max()), 1e-12)
+    r = rigid / max(float(np.abs(rigid).max()), 1e-12)
+    d = np.linalg.norm(o, axis=0) - np.linalg.norm(r, axis=0)
+    return (d - d.min()) / max(float(d.max() - d.min()), 1e-12)
+
+
 def make_samples(seed: int, n_frames: int, h: int, w: int, touching: bool):
     """Render one scene -> list of (x (H,W,6), fg, off, valid, inst)."""
-    import jax.numpy as jnp
-
     from nerf_kbs_tpu.data.synthetic_kitti import (
         CX, CY, FX, FY, make_poses, make_scene, render_dynamic_flow,
         render_dynamic_frame,
     )
-    from nerf_kbs_tpu.process_data import motion_mask as MM
     from nerf_kbs_tpu.process_data.networks.segmenter import (
         make_inputs, make_targets,
     )
@@ -125,9 +131,7 @@ def make_samples(seed: int, n_frames: int, h: int, w: int, touching: bool):
         optical = flow.transpose(2, 0, 1)
         rigid = static_reprojection_flow(poses[f], poses[f + 1], zdepth,
                                          fx, fy, cx, cy)
-        prob = np.asarray(
-            MM.moving_probability(jnp.asarray(optical), jnp.asarray(rigid))
-        )
+        prob = moving_probability_np(optical, rigid)
         x = make_inputs(rgb, prob, optical)
         fg, off, valid_t = make_targets(inst)
         out.append((x.astype(np.float32), fg, off, valid_t, inst))
@@ -254,7 +258,7 @@ def main() -> None:
     seg_inst_q, cc_inst_q, seg_mask_iou, cc_mask_iou = [], [], [], []
     for x, fg_t, off_t, v_t, inst_gt in evals:
         prob = x[..., 3]
-        hard = np.asarray(MM.hard_motion_mask(jnp.asarray(prob), 0.3))
+        hard = (prob > 0.3).astype(np.uint8)  # MM.hard_motion_mask, host-side
         gt_mask = (inst_gt > 0).astype(np.uint8)
 
         fg, off = predict(model, variables, x)
