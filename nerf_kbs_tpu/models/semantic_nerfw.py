@@ -68,6 +68,23 @@ def forward(
     step=0,
     train: bool = True,
 ) -> dict:
+    # without the (train-only) transient path this model is nerfacto +
+    # semantic head — delegate to nerfacto.forward so the fused Pallas
+    # kernels (incl. the semantics split kernel) carry the reference
+    # flagship method too; outputs are a superset of what loss() consumes
+    use_transient = cfg.use_transient_embedding and train
+    if not use_transient:
+        from nerf_kbs_tpu.models.fields import fused_enabled
+
+        if (
+            fused_enabled(cfg.field_type)
+            and not cfg.predict_normals
+            and not cfg.disable_scene_contraction
+        ):
+            return _nerfacto.forward(
+                params, cfg, rays, key=key, step=step, train=train
+            )
+
     rays = R.near_far_collider(rays, cfg.near_plane, cfg.far_plane)
     from nerf_kbs_tpu.models.fields import density_field_apply
 

@@ -279,3 +279,58 @@ def test_pdf_sampler_stop_grad_cuts_weight_gradients():
     g_cut = jax.grad(lambda w: mean_start(w, True))(w)
     assert float(jnp.abs(g_open).sum()) > 0
     assert float(jnp.abs(g_cut).sum()) == 0.0
+
+
+def test_semantic_nerfw_fused_delegation_matches_xla_path(monkeypatch):
+    """Without the transient path, semantic-nerfw delegates to nerfacto's
+    fused forward; outputs must match the model's own XLA path closely
+    (same math, kernel vs XLA) and grads must be finite."""
+    from nerf_kbs_tpu.models import semantic_nerfw
+
+    cfg = semantic_nerfw.SemanticNerfWConfig(
+        num_images=3,
+        field_type="fourier",
+        fourier_num_levels=3,
+        num_proposal_samples_per_ray=(16, 8),
+        num_nerf_samples_per_ray=8,
+        proposal_num_levels=3,
+        proposal_max_res=(32, 64),
+        hidden_dim=16,
+        hidden_dim_color=16,
+        appearance_embedding_dim=0,
+        use_semantic=True,
+        num_semantic_classes=4,
+        stop_grad_sampling=True,
+    )
+    params = semantic_nerfw.init(jax.random.PRNGKey(0), cfg)
+    rays = make_rays(8)
+
+    monkeypatch.delenv("NKT_FUSED", raising=False)
+    out_xla = semantic_nerfw.forward(
+        params, cfg, rays, key=jax.random.PRNGKey(2), step=500
+    )
+    monkeypatch.setenv("NKT_FUSED", "1")  # interpret-mode kernels on CPU
+    out_fused = semantic_nerfw.forward(
+        params, cfg, rays, key=jax.random.PRNGKey(2), step=500
+    )
+    for k in ("rgb", "depth", "accumulation", "semantics"):
+        np.testing.assert_allclose(
+            np.asarray(out_fused[k]), np.asarray(out_xla[k]), atol=2e-3,
+            err_msg=k,
+        )
+
+    batch = {
+        "image": jnp.full((8, 3), 0.4),
+        "semantics_label": jnp.zeros((8,), jnp.int32),
+    }
+
+    def loss_fn(p):
+        out = semantic_nerfw.forward(p, cfg, rays, key=jax.random.PRNGKey(2), step=500)
+        return semantic_nerfw.loss(cfg, out, batch)[0]
+
+    g = jax.grad(loss_fn)(params)
+    flat = np.concatenate([np.ravel(x) for x in jax.tree.leaves(g)])
+    assert np.isfinite(flat).all()
+    assert float(np.abs(np.concatenate([
+        np.ravel(g["fields"]["semantic_mlp"]["w"][0])
+    ])).sum()) > 0
