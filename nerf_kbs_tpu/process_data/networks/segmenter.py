@@ -130,7 +130,10 @@ def segmenter_loss(model: InstanceSegmenter, variables, batch):
 def predict(model: InstanceSegmenter, variables, x: np.ndarray):
     """x (H, W, 6) -> (fg_prob (H, W), offsets_pixels (H, W, 2))."""
     out = np.asarray(model.apply(variables, jnp.asarray(x)[None]))[0]
-    fg = 1.0 / (1.0 + np.exp(-out[..., 0]))
+    # overflow-stable sigmoid
+    z = out[..., 0]
+    fg = np.where(z >= 0, 1.0 / (1.0 + np.exp(-np.abs(z))),
+                  np.exp(-np.abs(z)) / (1.0 + np.exp(-np.abs(z))))
     off = out[..., 1:] * model.cfg.offset_scale
     return fg, off
 
