@@ -274,7 +274,7 @@ def main(argv: Optional[list[str]] = None) -> None:
 
         viewer = ViewerServer(
             trainer, eval_image_dir=str(trainer.out_dir / "eval_images"),
-            port=viewer_port,
+            port=viewer_port, mode="training",
         )
         print(f"live viewer on http://{viewer.host}:{viewer.port} "
               "(/status /render /orbit /latest)", flush=True)

@@ -5,16 +5,23 @@ Two modes:
 
 - **standalone** (``nkt-train <method> --serve 7007 --trainer.load-dir ...``):
   renders eval cameras and free orbit cameras on demand from a checkpoint;
-- **during training** (``TrainerConfig.viewer_port``): a daemon thread serves
-  the latest eval-image dumps and live metrics without touching the device
-  (renders would contend with the train step on-chip).
+- **during training** (``--viewer-port N``): a daemon thread renders LIVE
+  from the current training params (``trainer.params``/``trainer.step`` are
+  immutable snapshots, so a render between dispatches sees the latest
+  completed step; the device queue serializes render vs train work, and a
+  lock keeps at most one render in flight).
+
+The HTML page is a continuous free-camera navigator: pointer drag orbits
+(theta, phi), wheel zooms radius, and with "live re-render" checked the
+current pose re-renders whenever /status reports a new training step —
+the reference's vis='viewer' interaction model over plain HTTP.
 
 Endpoints:
-  GET /            HTML page (latest render + camera controls)
+  GET /            HTML page (drag-to-orbit live view + camera controls)
   GET /status      JSON {step, num_eval_images, mode, last_metrics}
-  GET /render?cam=0&kind=rgb|depth        eval-camera render (standalone)
+  GET /render?cam=0&kind=rgb|depth        eval-camera render
   GET /orbit?theta=0&phi=0.3&radius=1.6&size=128   free-orbit render
-  GET /latest?kind=rgb|depth              newest eval dump (training mode)
+  GET /latest?kind=rgb|depth              newest eval dump
 """
 
 from __future__ import annotations
@@ -32,27 +39,60 @@ import numpy as np
 _PAGE = """<!doctype html><html><head><title>nerf-kbs-tpu viewer</title></head>
 <body style="font-family:monospace;background:#111;color:#ddd">
 <h3>nerf-kbs-tpu viewer</h3>
-<div id="status"></div>
-<div>
+<div id="status" style="white-space:pre-wrap;font-size:11px"></div>
+<div style="margin:6px 0">
  cam <input id="cam" type="number" value="0" min="0" style="width:4em">
  kind <select id="kind"><option>rgb</option><option>depth</option></select>
- <button onclick="renderCam()">render</button>
- &nbsp;|&nbsp; orbit &theta; <input id="th" type="range" min="0" max="6.28" step="0.05" value="0" style="width:10em">
- <button onclick="renderOrbit()">orbit render</button>
+ <button onclick="renderCam()">eval cam</button>
+ &nbsp;|&nbsp; size <select id="size"><option>128</option><option selected>192</option><option>256</option><option>384</option></select>
+ <label><input id="live" type="checkbox" checked> live re-render</label>
+ <span id="pose" style="color:#8c8"></span>
 </div>
-<p><img id="im" style="max-width:95%%;image-rendering:pixelated"></p>
+<p><img id="im" draggable="false"
+   style="max-width:95%;image-rendering:pixelated;cursor:grab;touch-action:none;user-select:none"></p>
+<div style="color:#888">drag = orbit &middot; wheel = zoom &middot; live re-renders as training advances</div>
 <script>
-async function refresh(){
-  const s = await (await fetch('/status')).json();
-  document.getElementById('status').textContent = JSON.stringify(s);
+// Continuous free-camera navigation over HTTP: drag updates (theta, phi),
+// wheel updates radius; at most one render request in flight, latest wins.
+let th=0, ph=0.35, r=1.6, inflight=false, dirty=true, lastStep=-1;
+const im=document.getElementById('im');
+function poseStr(){return 'th='+th.toFixed(2)+' ph='+ph.toFixed(2)+' r='+r.toFixed(2);}
+async function pump(){
+  if(inflight||!dirty){return;}
+  inflight=true; dirty=false;
+  const size=document.getElementById('size').value;
+  const url='/orbit?theta='+th+'&phi='+ph+'&radius='+r+'&size='+size+'&t='+Date.now();
+  try{
+    const b=await (await fetch(url)).blob();
+    im.src=URL.createObjectURL(b);
+    document.getElementById('pose').textContent=poseStr();
+  }catch(e){}
+  inflight=false;
 }
+setInterval(pump, 120);
+let drag=null;
+im.addEventListener('pointerdown', e=>{drag=[e.clientX,e.clientY]; im.setPointerCapture(e.pointerId);});
+im.addEventListener('pointermove', e=>{
+  if(!drag) return;
+  th-=(e.clientX-drag[0])*0.01;
+  ph=Math.max(-1.4, Math.min(1.4, ph+(e.clientY-drag[1])*0.01));
+  drag=[e.clientX,e.clientY]; dirty=true;
+});
+im.addEventListener('pointerup', ()=>{drag=null;});
+im.addEventListener('wheel', e=>{e.preventDefault(); r=Math.max(0.2, r*(e.deltaY>0?1.08:0.93)); dirty=true;});
 function renderCam(){
   const c=document.getElementById('cam').value, k=document.getElementById('kind').value;
-  document.getElementById('im').src='/render?cam='+c+'&kind='+k+'&t='+Date.now();
+  im.src='/render?cam='+c+'&kind='+k+'&t='+Date.now();
 }
-function renderOrbit(){
-  const th=document.getElementById('th').value;
-  document.getElementById('im').src='/orbit?theta='+th+'&t='+Date.now();
+async function refresh(){
+  try{
+    const s = await (await fetch('/status')).json();
+    document.getElementById('status').textContent = JSON.stringify(s);
+    // training advanced + live box checked -> re-render the current pose
+    if(document.getElementById('live').checked && s.step!==undefined && s.step!==lastStep){
+      lastStep=s.step; dirty=true;
+    }
+  }catch(e){}
 }
 refresh(); setInterval(refresh, 2000);
 </script></body></html>"""
@@ -70,10 +110,12 @@ def _to_png(arr: np.ndarray) -> bytes:
 
 class ViewerServer:
     def __init__(self, trainer=None, eval_image_dir: str | None = None,
-                 port: int = 7007, host: str | None = None):
+                 port: int = 7007, host: str | None = None,
+                 mode: str = "standalone"):
         if host is None:
             host = os.environ.get("NKT_VIEWER_HOST", "127.0.0.1")
         self.trainer = trainer
+        self.mode = mode
         self.eval_image_dir = Path(eval_image_dir) if eval_image_dir else None
         self.port = port
         self.host = host
@@ -130,8 +172,7 @@ class ViewerServer:
 
     # ------------------------------------------------------------- handlers
     def status(self) -> dict:
-        out = {"mode": "standalone" if self.trainer is not None else "training",
-               "port": self.port}
+        out = {"mode": self.mode, "port": self.port}
         if self.trainer is not None:
             out["step"] = self.trainer.step
             out["num_eval_images"] = self.trainer.dm.num_eval_images()
@@ -154,14 +195,14 @@ class ViewerServer:
 
     def render_eval_camera(self, cam: int, kind: str) -> bytes:
         if self.trainer is None:
-            raise RuntimeError("live rendering only in standalone (--serve) mode")
+            raise RuntimeError("no trainer attached: rendering unavailable")
         with self._render_lock:
             outputs = self.trainer.render_camera(cam)
         return self._encode(outputs, kind)
 
     def render_orbit(self, theta: float, phi: float, radius: float, size: int) -> bytes:
         if self.trainer is None:
-            raise RuntimeError("live rendering only in standalone (--serve) mode")
+            raise RuntimeError("no trainer attached: rendering unavailable")
         from nerf_kbs_tpu.data.outputs import DataparserOutputs
 
         origin = radius * np.array(

@@ -22,6 +22,7 @@ Interlevel/distortion losses consume the same spacing domain.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -29,6 +30,10 @@ import jax.numpy as jnp
 from flax import struct
 
 from nerf_kbs_tpu.cameras.cameras import RayBundle
+
+# opt-in: two-level bracket on the detached-resampling path (see
+# _bracket_values_blocked; default off until TPU timing proves it faster)
+_PDF_BLOCKED = os.environ.get("NKT_PDF_BLOCKED", "0") not in ("0", "", "false")
 
 
 @struct.dataclass
@@ -216,6 +221,75 @@ def _bracket_bwd(res, gs):
 _bracket_values.defvjp(_bracket_fwd, _bracket_bwd)
 
 
+def _bracket_values_blocked(
+    cdf: jnp.ndarray, edges: jnp.ndarray, u: jnp.ndarray, block: int = 8
+):
+    """Two-level (blocked) exact equivalent of the `_bracket_values` forward.
+
+    The flat form touches the full (R, S+1, Q) mask volume ~9 ops/element.
+    Because cdf rows are sorted, the active bin can be bracketed hierarchically:
+
+    1. compare u against the B+1 = (S//block)+1 block-boundary cdf values
+       -> per-query block one-hot, volume (R, B+1, Q);
+    2. route each block's (block+1)-value cdf/edge window to its queries with
+       one batched dot_general over the one-hot (MXU work, no gathers),
+       volume (R, Q, block+1);
+    3. flat masked bracket inside the window, volume (R, block+1, Q).
+
+    Logical compare volume drops S1/(B+1 + block+1)-fold (~5x at S=128,
+    block=8). Exactness: the global bracket index b(q) = max{s: cdf_s <= u_q}
+    lies in the chosen block's window [jB, jB+block] because the boundaries
+    satisfy cdf_{jB} <= u < cdf_{(j+1)B}; monotonicity makes the in-window
+    masked max/min equal the global ones. Requires S % block == 0 (caller
+    falls back to the flat form otherwise).
+
+    Forward-only: the flagship uses stop_grad_sampling so no VJP is needed;
+    differentiable callers keep the flat custom-VJP path.
+    """
+    R, S1 = cdf.shape
+    B = (S1 - 1) // block
+    big = jnp.float32(1e10)
+
+    # --- stage 1: block one-hot from the B+1 boundary values ---------------
+    cb = cdf[:, ::block]  # (R, B+1) boundaries cdf_{j*block}
+    m1 = cb[:, :, None] <= u[:, None, :]  # (R, B+1, Q)
+    onehot = jnp.logical_and(m1[:, :-1, :], ~m1[:, 1:, :]).astype(cdf.dtype)  # (R, B, Q)
+
+    # --- stage 2: per-query windows via one batched contraction ------------
+    # windows W[r, j, k] = vals[r, j*block + k], k = 0..block (overlap by 1)
+    def windows(vals):
+        body = vals[:, :-1].reshape(R, B, block)
+        nxt = vals[:, block::block][:, :, None]  # (R, B, 1)
+        return jnp.concatenate([body, nxt], axis=-1)  # (R, B, block+1)
+
+    W = jnp.concatenate([windows(cdf), windows(edges)], axis=-1)  # (R, B, 2*(block+1))
+    # (R, Q, B) @ (R, B, 2(block+1)) -> (R, Q, 2(block+1)): one MXU batch op
+    slab = jax.lax.dot_general(
+        onehot, W, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    sc, se = slab[..., : block + 1], slab[..., block + 1 :]  # (R, Q, block+1)
+
+    # --- stage 3: flat bracket inside the (block+1)-value window -----------
+    m2 = sc <= u[:, :, None]  # (R, Q, block+1)
+    ops = (
+        jnp.where(m2, sc, -big),
+        jnp.where(m2, big, sc),
+        jnp.where(m2, se, -big),
+        jnp.where(m2, big, se),
+    )
+    inits = (jnp.float32(-big), jnp.float32(big), jnp.float32(-big), jnp.float32(big))
+
+    def comb(a, b):
+        return (
+            jnp.maximum(a[0], b[0]),
+            jnp.minimum(a[1], b[1]),
+            jnp.maximum(a[2], b[2]),
+            jnp.minimum(a[3], b[3]),
+        )
+
+    return jax.lax.reduce(ops, inits, comb, (2,))
+
+
 def pdf_sampler(
     rays: RayBundle,
     ray_samples: RaySamples,
@@ -285,7 +359,13 @@ def pdf_sampler(
     # 16k x 129 x 49 on v5e). A Pallas staircase kernel of the same math
     # was 10x slower (loop overhead) — don't re-attempt without an
     # algorithmic S*Q reduction; shrink sample counts instead.
-    cdf_lo, cdf_hi, edge_lo, edge_hi = _bracket_values(cdf, edges, u)
+    S1 = cdf.shape[1]
+    if stop_grad and (S1 - 1) % 8 == 0 and _PDF_BLOCKED:
+        # forward-only two-level bracket (inputs are stop_gradient'ed, so
+        # autodiff never visits this path); ~5x less compare volume
+        cdf_lo, cdf_hi, edge_lo, edge_hi = _bracket_values_blocked(cdf, edges, u)
+    else:
+        cdf_lo, cdf_hi, edge_lo, edge_hi = _bracket_values(cdf, edges, u)
     # u in (0, 1): cdf[0] = 0 <= u and cdf[-1] = 1 > u, so both sides exist
     denom = jnp.maximum(cdf_hi - cdf_lo, 1e-10)
     frac = jnp.clip((u - cdf_lo) / denom, 0.0, 1.0)

@@ -336,6 +336,74 @@ def test_bracket_values_matches_masked_reduction_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_bracket_values_blocked_exact():
+    """_bracket_values_blocked (two-level bracket) must equal the flat
+    _bracket_values forward EXACTLY — including rows with duplicate cdf
+    values (zero-weight bins) and duplicates straddling block boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.ops.samplers import _bracket_values, _bracket_values_blocked
+
+    key = jax.random.PRNGKey(3)
+    for S, Q in ((16, 5), (48, 49), (128, 49)):
+        R = 7
+        w = jax.random.uniform(jax.random.fold_in(key, S), (R, S))
+        # zero out runs of bins (duplicate cdf values, some across block
+        # boundaries at multiples of 8)
+        w = w * (jax.random.uniform(jax.random.fold_in(key, S + 1), (R, S)) > 0.3)
+        pdf = w / jnp.maximum(w.sum(1, keepdims=True), 1e-9)
+        cdf = jnp.concatenate([jnp.zeros((R, 1)), jnp.cumsum(pdf, 1)], 1)
+        cdf = jnp.minimum(cdf, 1.0).at[:, -1].set(1.0)
+        edges = jnp.sort(jax.random.uniform(jax.random.fold_in(key, S + 2), (R, S + 1)), 1)
+        u = jnp.linspace(0.0, 1.0 - 1.0 / Q, Q)[None] + jax.random.uniform(
+            jax.random.fold_in(key, S + 3), (R, 1)
+        ) / Q
+
+        want = _bracket_values(cdf, edges, u)
+        got = _bracket_values_blocked(cdf, edges, u)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pdf_sampler_blocked_flag_exact(monkeypatch):
+    """NKT_PDF_BLOCKED routes the stop_grad pdf_sampler through the blocked
+    bracket with bit-identical sample output."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.cameras.cameras import RayBundle
+    from nerf_kbs_tpu.ops import samplers
+
+    R, S = 11, 128
+    key = jax.random.PRNGKey(5)
+    rays = RayBundle(
+        origins=jnp.zeros((R, 3)),
+        directions=jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (R, 1)),
+        pixel_area=jnp.ones((R, 1)),
+        camera_indices=jnp.zeros((R, 1), jnp.int32),
+        directions_norm=jnp.ones((R, 1)),
+        nears=jnp.full((R, 1), 0.1),
+        fars=jnp.full((R, 1), 4.0),
+    )
+    rs = samplers.uniform_sampler(rays, S, "uniform", key=jax.random.fold_in(key, 0))
+    weights = jax.random.uniform(jax.random.fold_in(key, 1), (R, S))
+
+    def run():
+        out = samplers.pdf_sampler(
+            rays, rs, weights, 48, "uniform",
+            key=jax.random.fold_in(key, 2), stop_grad=True,
+        )
+        return jax.tree.map(np.asarray, out)
+
+    monkeypatch.setattr(samplers, "_PDF_BLOCKED", False)
+    flat = run()
+    monkeypatch.setattr(samplers, "_PDF_BLOCKED", True)
+    blocked = run()
+    for a, b in zip(jax.tree.leaves(flat), jax.tree.leaves(blocked)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_outer_weights_fused_vjp_matches_reference():
     """_outer_weights' fused custom VJP (one volume traversal + boundary
     one-hot backward) must match a plain XLA masked-reduction implementation
