@@ -166,8 +166,11 @@ def nerfacto_tpu_method() -> MethodSpec:
         num_images=spec.model.num_images,
         # frequency scales: random Fourier features memorize beyond the
         # sampling density — cap max_res well below the hash default and ramp
-        # coarse-to-fine (measured on the synthetic scene: max_res 64+anneal
-        # beats the hash field at equal steps; max_res 2048 collapses eval)
+        # coarse-to-fine (fourier max_res 2048 collapses eval). Equal-protocol
+        # A/B vs the full hash config (PARITY.md): hash is +3 dB at equal
+        # STEPS (318x the params) but 677x slower per ray — at equal
+        # wall-clock the fourier field dominates; recover capacity by
+        # scaling width/levels, not gathers.
         base_res=4,
         max_res=256,
         fourier_anneal_steps=5000,
