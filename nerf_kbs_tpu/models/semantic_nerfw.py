@@ -185,6 +185,18 @@ def loss(cfg: SemanticNerfWConfig, outputs: dict, batch: dict, train: bool = Tru
         losses["rgb_loss"] = jnp.mean(
             jnp.sum((gt - outputs["rgb"]) ** 2, axis=-1) / (betas[..., 0] ** 2)
         )
+    elif cfg.use_mask and "mask" in batch:
+        # loss-level motion masking, same per-element masked mean as
+        # nerfacto.loss. The reference keeps this rgb term UNMASKED
+        # (semantic_nerfw.py:266 — its static-image masking is commented at
+        # :241-242) and instead drops moving pixels at the data level in the
+        # SUDS stream (dataset_z mask filtering); this framework supports
+        # both, and use_mask gates the loss-level form for parity with our
+        # nerfacto extension.
+        m = batch["mask"].astype(outputs["rgb"].dtype)
+        losses["rgb_loss"] = jnp.sum(m * (outputs["rgb"] - gt) ** 2) / jnp.maximum(
+            jnp.sum(m) * 3.0, 1.0
+        )
     else:
         losses["rgb_loss"] = L.mse_loss(outputs["rgb"], gt)
 

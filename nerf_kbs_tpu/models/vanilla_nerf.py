@@ -37,6 +37,15 @@ class VanillaNerfConfig:
     skip_connections: tuple[int, ...] = (4,)
     near_plane: float = 0.05
     far_plane: float = 1000.0
+    # 'aabb' intersects each ray with the (auto-normalized) scene box so the
+    # 64 UNIFORM coarse samples land inside the scene. The reference inherits
+    # nerfstudio's blender-tuned NearAndFarCollider(2.0, 6.0) from
+    # VanillaModelConfig defaults (train_nerf.py:40), which — like a
+    # (0.05, 1000) near/far — puts almost no samples inside a +-1-normalized
+    # driving scene: measured FLAT loss for 30k steps on the vKITTI-layout
+    # scene. 'near_far' keeps the reference behavior.
+    collider: str = "aabb"  # 'aabb' | 'near_far'
+    aabb_scale: float = 1.0
     background_color: str = "white"
     enable_temporal_distortion: bool = False
     temporal_distortion_layers: int = 4
@@ -162,7 +171,13 @@ def forward(
     step: jnp.ndarray | int = 0,
     train: bool = True,
 ) -> dict:
-    rays = R.near_far_collider(rays, cfg.near_plane, cfg.far_plane)
+    if cfg.collider == "aabb":
+        box = jnp.array(
+            [[-cfg.aabb_scale] * 3, [cfg.aabb_scale] * 3], jnp.float32
+        )
+        rays = R.aabb_box_collider(rays, box, near_plane=cfg.near_plane)
+    else:
+        rays = R.near_far_collider(rays, cfg.near_plane, cfg.far_plane)
     k1, k2 = (jax.random.split(key) if key is not None else (None, None))
 
     coarse_samples = uniform_sampler(rays, cfg.num_coarse_samples, spacing="uniform", key=k1)

@@ -334,3 +334,50 @@ def test_semantic_nerfw_fused_delegation_matches_xla_path(monkeypatch):
     assert float(np.abs(np.concatenate([
         np.ravel(g["fields"]["semantic_mlp"]["w"][0])
     ])).sum()) > 0
+
+
+def test_semantic_nerfw_use_mask_masks_rgb_loss():
+    """use_mask + a batch 'mask' row must drop moving pixels from the rgb
+    term (same masked-mean semantics as nerfacto.loss): corrupting a MASKED
+    pixel's gt must not change the loss, corrupting a kept pixel must."""
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.models import semantic_nerfw
+
+    cfg = semantic_nerfw.SemanticNerfWConfig(
+        num_images=3,
+        field_type="fourier",
+        fourier_num_levels=3,
+        num_proposal_samples_per_ray=(16, 8),
+        num_nerf_samples_per_ray=8,
+        proposal_num_levels=3,
+        proposal_max_res=(32, 64),
+        hidden_dim=16,
+        hidden_dim_color=16,
+        appearance_embedding_dim=0,
+        use_semantic=False,
+        use_mask=True,
+        stop_grad_sampling=True,
+    )
+    params = semantic_nerfw.init(jax.random.PRNGKey(0), cfg)
+    rays = make_rays(8)
+    out = semantic_nerfw.forward(params, cfg, rays, key=jax.random.PRNGKey(2), step=500)
+
+    mask = jnp.ones((8, 1)).at[2, 0].set(0.0)
+    gt = jnp.full((8, 3), 0.4)
+    base = float(semantic_nerfw.loss(cfg, out, {"image": gt, "mask": mask})[0])
+    # corrupt the masked (moving) pixel: loss unchanged
+    gt_moving = gt.at[2].set(9.0)
+    same = float(semantic_nerfw.loss(cfg, out, {"image": gt_moving, "mask": mask})[0])
+    assert same == base
+    # corrupt a kept (static) pixel: loss changes
+    gt_static = gt.at[3].set(9.0)
+    diff = float(semantic_nerfw.loss(cfg, out, {"image": gt_static, "mask": mask})[0])
+    assert diff > base + 1.0
+    # without use_mask the same batches differ (sanity that mask is the cause)
+    import dataclasses
+
+    cfg_nm = dataclasses.replace(cfg, use_mask=False)
+    a = float(semantic_nerfw.loss(cfg_nm, out, {"image": gt, "mask": mask})[0])
+    b = float(semantic_nerfw.loss(cfg_nm, out, {"image": gt_moving, "mask": mask})[0])
+    assert b > a + 1.0
