@@ -32,7 +32,12 @@ from flax import struct
 from nerf_kbs_tpu.cameras.cameras import RayBundle
 
 # opt-in: two-level bracket on the detached-resampling path (see
-# _bracket_values_blocked; default off until TPU timing proves it faster)
+# _bracket_values_blocked). MEASURED SLOWER on v5e (bench.py 866k vs 981k
+# rays/s at the 16k flagship point): the one-hot dot_general routing +
+# window materialization cost more than the flat compare-all volume, which
+# XLA fuses to the VPU element-op wall — same lesson as the Pallas
+# staircase kernel (10x slower). Stays off; kept as the exactness-tested
+# reference for future hardware where MXU routing beats VPU compares.
 _PDF_BLOCKED = os.environ.get("NKT_PDF_BLOCKED", "0") not in ("0", "", "false")
 
 
