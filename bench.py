@@ -25,7 +25,9 @@ import time
 import numpy as np
 
 
-def bench_method(field_type: str, batch_size: int, steps: int, on_tpu: bool) -> float:
+def bench_method(
+    field_type: str, batch_size: int, steps: int, on_tpu: bool, inner: int = 50
+) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -66,9 +68,11 @@ def bench_method(field_type: str, batch_size: int, steps: int, on_tpu: bool) -> 
         [], orbit_cameras(32, h=376, w=1241), np.array([[-1.0] * 3, [1.0] * 3])
     ).cameras()
 
-    INNER = 10  # steps per dispatch: host->chip dispatch through the axon
+    INNER = inner  # steps per dispatch: host->chip dispatch through the axon
     # tunnel costs ~15 ms/call, which a real training loop amortizes via
-    # async dispatch; scanning INNER steps per call measures device time
+    # async dispatch; scanning INNER steps per call measures device time.
+    # 50 matches the real trainer's steps_per_dispatch (methods.py) — at 10
+    # the dispatch overhead alone taxed the metric ~1.5 ms/step (~9%)
 
     @jax.jit
     def multi_step(params, opt_state, key):
@@ -128,6 +132,71 @@ def bench_method(field_type: str, batch_size: int, steps: int, on_tpu: bool) -> 
     return best
 
 
+def bench_render(batch_size: int, steps: int, on_tpu: bool, inner: int = 20) -> float:
+    """Forward-only (eval render) throughput at the flagship point: the
+    serving-path number behind the viewer/--serve render path (reference
+    eval chunk 1<<16, train.py:77)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.cameras.cameras import generate_rays
+    from nerf_kbs_tpu.data.outputs import DataparserOutputs
+    from nerf_kbs_tpu.data.synthetic import orbit_cameras
+    from nerf_kbs_tpu.models import nerfacto
+
+    cfg = nerfacto.NerfactoConfig(
+        num_images=32,
+        field_type="fourier",
+        hidden_dim=128,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        fourier_basis="tri",
+        max_res=64,
+        base_res=4,
+        num_proposal_samples_per_ray=(128, 48),
+        stop_grad_sampling=True,
+    )
+    params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+    cameras = DataparserOutputs(
+        [], orbit_cameras(32, h=376, w=1241), np.array([[-1.0] * 3, [1.0] * 3])
+    ).cameras()
+
+    @jax.jit
+    def multi_render(key):
+        def body(acc, k):
+            ray_indices = jnp.stack(
+                [
+                    jax.random.randint(k, (batch_size,), 0, 32),
+                    jax.random.randint(jax.random.fold_in(k, 1), (batch_size,), 0, 376),
+                    jax.random.randint(jax.random.fold_in(k, 2), (batch_size,), 0, 1241),
+                ],
+                -1,
+            ).astype(jnp.int32)
+            rays = generate_rays(cameras, ray_indices)
+            out = nerfacto.forward(params, cfg, rays, key=k, step=30000.0, train=False)
+            # consume rgb+depth so nothing is dead-code-eliminated; feed the
+            # sum back as the carry so chunks chain (tunnel memoization)
+            return acc + out["rgb"].sum() + out["depth"].sum(), None
+
+        keys = jax.random.split(key, inner)
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), keys)
+        return acc
+
+    key = jax.random.PRNGKey(2)
+    acc = multi_render(key)
+    jax.block_until_ready(acc)
+    rounds = max(steps // inner, 1)
+    best = 0.0
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for i in range(rounds):
+            acc = multi_render(jax.random.fold_in(key, trial * rounds + i))
+        jax.block_until_ready(acc)
+        float(acc)
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * rounds * inner / dt)
+    return best
+
+
 def main() -> None:
     import jax
 
@@ -136,9 +205,10 @@ def main() -> None:
     # 4k up, and the 16k operating point is quality-validated (30.97 eval
     # PSNR @3k steps on the synthetic study, PARITY.md)
     batch = 16384 if on_tpu else 128
-    steps = 50 if on_tpu else 2
+    steps = 100 if on_tpu else 2
 
-    tpu_rate = bench_method("fourier", batch, steps, on_tpu)
+    tpu_rate = bench_method("fourier", batch, steps, on_tpu,
+                            inner=50 if on_tpu else 2)
     print(
         json.dumps(
             {
@@ -150,9 +220,18 @@ def main() -> None:
         )
     )
     try:
+        render_rate = bench_render(65536, 60 if on_tpu else 1, on_tpu,
+                                   inner=20 if on_tpu else 1)
+        print(f"# eval-render (forward-only, 65536-ray chunks): "
+              f"{render_rate:.1f} rays/sec")
+    except Exception as e:
+        print(f"# eval-render bench failed: {type(e).__name__}: {e}")
+    try:
         # the gather-bound hash path keeps its original 4096-ray batch: at
         # 16k rays the 5.8M-point per-corner gather trips a libtpu fault
-        hash_rate = bench_method("hash", min(batch, 4096), max(steps // 5, 2), on_tpu)
+        hash_rate = bench_method(
+            "hash", min(batch, 4096), max(steps // 5, 2), on_tpu, inner=10
+        )
         print(f"# hash-grid parity path: {hash_rate:.1f} rays/sec")
     except Exception as e:  # parity path must not break the headline metric
         print(f"# hash-grid parity path failed: {type(e).__name__}: {e}")

@@ -223,26 +223,27 @@ def generate_rays(
         dist = [fetched[off + i] for i in range(k)]
         off += k
 
-    def dirs_rows(px, py):
-        """Camera dirs (x, -y, -1) rotated to world; returns 3 (B,) rows."""
-        x = (px - cx) / fx
-        y = (py - cy) / fy
-        if dist is not None:
-            x, y = _undistort_iterative_rows(x, y, dist)
-        return [M[i][0] * x - M[i][1] * y - M[i][2] for i in range(3)]
-
-    d0 = dirs_rows(px, py)
-    norm = jnp.sqrt(d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2])
-    u0 = [d / norm for d in d0]
-
-    def _unit_delta(d):
-        n = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
-        return jnp.sqrt(sum((d[i] / n - u0[i]) ** 2 for i in range(3)))
-
-    # neighboring pixels for the pixel-area estimate
-    dxn = _unit_delta(dirs_rows(px + 1.0, py))
-    dyn = _unit_delta(dirs_rows(px, py + 1.0))
-    pixel_area = (dxn * dyn).reshape(batch_shape)[..., None]
+    # The three pixel variants needed per ray (center, +x neighbor, +y
+    # neighbor for the pixel-area estimate) are evaluated in ONE broadcast
+    # pass over (3, B) arrays with the (B,) camera rows broadcasting: the
+    # VPU pads sublane 3 -> 8, but the op count in this fixed-cost-bound
+    # section (~40 us/op on v5e regardless of size, CLAUDE.md) drops ~3x vs
+    # three separate row passes.
+    PX = jnp.stack([px, px + 1.0, px])  # (3, B)
+    PY = jnp.stack([py, py, py + 1.0])
+    X = (PX - cx) / fx
+    Y = (PY - cy) / fy
+    if dist is not None:
+        X, Y = _undistort_iterative_rows(X, Y, dist)
+    D = [M[i][0] * X - M[i][1] * Y - M[i][2] for i in range(3)]  # each (3, B)
+    NORM = jnp.sqrt(D[0] * D[0] + D[1] * D[1] + D[2] * D[2])
+    U = [d / NORM for d in D]  # unit directions for all three variants
+    norm = NORM[0]
+    u0 = [u[0] for u in U]
+    # |unit(neighbor) - unit(center)| for the +x / +y neighbors, as one
+    # (2, B) reduction per axis pair
+    deltas = jnp.sqrt(sum((u[1:3] - u[0:1]) ** 2 for u in U))  # (2, B)
+    pixel_area = (deltas[0] * deltas[1]).reshape(batch_shape)[..., None]
 
     times = None
     if cameras.times is not None:
