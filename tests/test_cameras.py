@@ -69,6 +69,42 @@ def test_rays_match_numpy_oracle(rng):
     assert np.asarray(rb.pixel_area)[center, 0] == pytest.approx(1 / fx / fy, rel=0.05)
 
 
+def test_pixel_area_matches_per_ray_oracle(rng):
+    """pixel_area (unit-direction deltas to the +x/+y neighbor pixels) against
+    a one-ray-at-a-time NumPy computation, on cameras with a general rotation —
+    guards the broadcast (3, B) evaluation of the three pixel variants."""
+    cams = make_cameras(n=2)
+    th = 0.7
+    R = np.array(
+        [[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]],
+        np.float32,
+    )
+    c2w = np.asarray(cams.c2w).copy()
+    c2w[1, :, :3] = R
+    cams = cams.replace(c2w=jnp.array(c2w))
+    B = 32
+    idx_np = np.stack(
+        [rng.integers(0, 2, B), rng.integers(0, 24, B), rng.integers(0, 32, B)], -1
+    ).astype(np.int32)
+    rb = generate_rays(cams, jnp.array(idx_np))
+
+    fxv, fyv = 30.0, 28.0
+    cxv, cyv = 16.0, 12.0
+
+    def unit_dir(i, r, c):
+        x = (c + 0.5 - cxv) / fxv
+        y = (r + 0.5 - cyv) / fyv
+        d = c2w[i, :, :3] @ np.array([x, -y, -1.0])
+        return d / np.linalg.norm(d)
+
+    for k in range(B):
+        i, r, c = idx_np[k]
+        u0 = unit_dir(i, r, c)
+        ax = np.linalg.norm(unit_dir(i, r, c + 1) - u0)
+        ay = np.linalg.norm(unit_dir(i, r + 1, c) - u0)
+        assert float(rb.pixel_area[k, 0]) == pytest.approx(ax * ay, abs=1e-9, rel=1e-4)
+
+
 def test_rotated_camera():
     cams = make_cameras(n=1)
     # rotate camera 90 deg about y: camera -z axis maps to world -x
