@@ -25,6 +25,23 @@ import time
 import numpy as np
 
 
+def _random_ray_indices(key, batch_size: int):
+    """Fresh on-device (camera, row, col) triples for the 32-camera
+    376x1241 bench scene — shared by the train and render benches so both
+    sample the same distribution."""
+    import jax
+    import jax.numpy as jnp
+
+    return jnp.stack(
+        [
+            jax.random.randint(key, (batch_size,), 0, 32),
+            jax.random.randint(jax.random.fold_in(key, 1), (batch_size,), 0, 376),
+            jax.random.randint(jax.random.fold_in(key, 2), (batch_size,), 0, 1241),
+        ],
+        -1,
+    ).astype(jnp.int32)
+
+
 def bench_method(
     field_type: str, batch_size: int, steps: int, on_tpu: bool, inner: int = 50
 ) -> float:
@@ -82,14 +99,7 @@ def bench_method(
             # loop-varying indices guarantee XLA cannot hoist ray generation
             # (or any index-dependent work) out of the scan body
             ki, kt = jax.random.split(k)
-            ray_indices = jnp.stack(
-                [
-                    jax.random.randint(ki, (batch_size,), 0, 32),
-                    jax.random.randint(jax.random.fold_in(ki, 1), (batch_size,), 0, 376),
-                    jax.random.randint(jax.random.fold_in(ki, 2), (batch_size,), 0, 1241),
-                ],
-                -1,
-            ).astype(jnp.int32)
+            ray_indices = _random_ray_indices(ki, batch_size)
             batch = {
                 "ray_indices": ray_indices,
                 "image": jax.random.uniform(kt, (batch_size, 3)),
@@ -163,14 +173,7 @@ def bench_render(batch_size: int, steps: int, on_tpu: bool, inner: int = 20) -> 
     @jax.jit
     def multi_render(key):
         def body(acc, k):
-            ray_indices = jnp.stack(
-                [
-                    jax.random.randint(k, (batch_size,), 0, 32),
-                    jax.random.randint(jax.random.fold_in(k, 1), (batch_size,), 0, 376),
-                    jax.random.randint(jax.random.fold_in(k, 2), (batch_size,), 0, 1241),
-                ],
-                -1,
-            ).astype(jnp.int32)
+            ray_indices = _random_ray_indices(k, batch_size)
             rays = generate_rays(cameras, ray_indices)
             out = nerfacto.forward(params, cfg, rays, key=k, step=30000.0, train=False)
             # consume rgb+depth so nothing is dead-code-eliminated; feed the

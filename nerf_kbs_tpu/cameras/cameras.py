@@ -86,22 +86,14 @@ class RayBundle:
 
 def _undistort_iterative(x: jnp.ndarray, y: jnp.ndarray, d: jnp.ndarray, iters: int = 3):
     """Invert the OpenCV radial(k1..k4)/tangential(p1,p2) distortion model by
-    fixed-point iteration (compile-friendly constant trip count)."""
-    k1, k2, k3, k4, p1, p2 = (d[..., i] for i in range(6))
-    xd, yd = x, y
-    for _ in range(iters):
-        r2 = x * x + y * y
-        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
-        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
-        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
-        x = (xd - dx) / radial
-        y = (yd - dy) / radial
-    return x, y
+    fixed-point iteration (compile-friendly constant trip count). Delegates to
+    the row-based implementation so the model lives in exactly one place."""
+    return _undistort_iterative_rows(x, y, [d[..., i] for i in range(6)], iters)
 
 
 def _undistort_iterative_rows(x, y, d_rows, iters: int = 3):
-    """Row-based variant of _undistort_iterative: d_rows is a list of 6 (B,)
-    coefficient rows (k1, k2, k3, k4, p1, p2)."""
+    """Fixed-point undistortion on coefficient rows: d_rows is a list of 6
+    broadcastable coefficient arrays (k1, k2, k3, k4, p1, p2)."""
     k1, k2, k3, k4, p1, p2 = d_rows
     xd, yd = x, y
     for _ in range(iters):

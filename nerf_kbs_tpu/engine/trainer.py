@@ -278,9 +278,24 @@ class Trainer:
         step = jnp.asarray(self.step, jnp.float32)
         for i in range(0, idx.shape[0], chunk):
             part = shard_batch(self.mesh, {"ray_indices": idx[i : i + chunk]})
-            res = self._render_chunk(self.params, cameras, part["ray_indices"], step)
+            # Live-viewer renders run concurrently with training dispatches
+            # whose jits DONATE the param buffers (donate_argnums): a chunk
+            # that catches the donation window reads deleted Arrays. Re-read
+            # self.params and retry (bounded); the error surfaces either at
+            # dispatch or at the np.asarray fetch, so both live in the try.
+            for attempt in range(8):
+                try:
+                    res = self._render_chunk(
+                        self.params, cameras, part["ray_indices"], step
+                    )
+                    res = {k: np.asarray(v) for k, v in res.items()}
+                    break
+                except Exception as e:  # jax raises RuntimeError/ValueError
+                    if "delete" not in str(e).lower() or attempt == 7:
+                        raise
+                    time.sleep(0.05)
             for k, v in res.items():
-                outs.setdefault(k, []).append(np.asarray(v))
+                outs.setdefault(k, []).append(v)
         return {
             k: np.concatenate(v, 0)[:total].reshape(h, w, -1) for k, v in outs.items()
         }

@@ -64,7 +64,9 @@ async function pump(){
   const url='/orbit?theta='+th+'&phi='+ph+'&radius='+r+'&size='+size+'&t='+Date.now();
   try{
     const b=await (await fetch(url)).blob();
+    const prev=im.src;
     im.src=URL.createObjectURL(b);
+    if(prev.startsWith('blob:')){URL.revokeObjectURL(prev);}
     document.getElementById('pose').textContent=poseStr();
   }catch(e){}
   inflight=false;

@@ -382,12 +382,21 @@ def forward(
         "directions_norm": rays.directions_norm,
     }
     if cfg.use_semantic:
+        # weights detached unless pass_semantic_gradients (reference
+        # semantic_nerfw.py:226-229 / NerfactoModelConfig flag)
         if use_fused:
+            w_sem = (
+                weights
+                if cfg.pass_semantic_gradients
+                else jax.lax.stop_gradient(weights)
+            )
             outputs["semantics"] = jnp.einsum(
-                "rs,crs->rc", jax.lax.stop_gradient(weights), field_out["semantics_t"]
+                "rs,crs->rc", w_sem, field_out["semantics_t"]
             )
         else:
-            outputs["semantics"] = R.render_semantics(weights, field_out["semantics"])
+            outputs["semantics"] = R.render_semantics(
+                weights, field_out["semantics"], cfg.pass_semantic_gradients
+            )
     if not use_fused and compute_normals and "normals" in field_out:
         outputs["normals"] = R.render_normals(weights, field_out["normals"])
         outputs["_sample_normals"] = field_out["normals"]

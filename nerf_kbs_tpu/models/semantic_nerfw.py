@@ -160,7 +160,9 @@ def forward(
         )
         outputs["density_transient"] = field_out["transient_density"]
     if cfg.use_semantic:
-        outputs["semantics"] = R.render_semantics(weights_static, field_out["semantics"])
+        outputs["semantics"] = R.render_semantics(
+            weights_static, field_out["semantics"], cfg.pass_semantic_gradients
+        )
     for i, (ps, pw) in enumerate(history):
         outputs[f"prop_depth_{i}"] = R.render_median_depth(pw, ps)
     return outputs

@@ -79,11 +79,16 @@ def render_median_depth(weights: jnp.ndarray, ray_samples) -> jnp.ndarray:
     return jnp.take_along_axis(steps, idx, axis=-1)
 
 
-def render_semantics(weights: jnp.ndarray, sem_logits: jnp.ndarray) -> jnp.ndarray:
-    """Composite per-sample semantic logits (R, S, K) -> (R, K). Gradients do
-    not flow through the weights (nerfstudio SemanticRenderer semantics;
-    reference semantic path semantic_nerfw.py:226-229)."""
-    return accumulate(jax.lax.stop_gradient(weights), sem_logits)
+def render_semantics(
+    weights: jnp.ndarray, sem_logits: jnp.ndarray, pass_gradients: bool = False
+) -> jnp.ndarray:
+    """Composite per-sample semantic logits (R, S, K) -> (R, K). By default
+    gradients do not flow through the weights (nerfstudio SemanticRenderer
+    semantics; reference semantic path semantic_nerfw.py:226-229);
+    ``pass_gradients`` mirrors NerfactoModelConfig.pass_semantic_gradients."""
+    if not pass_gradients:
+        weights = jax.lax.stop_gradient(weights)
+    return accumulate(weights, sem_logits)
 
 
 def render_uncertainty(weights: jnp.ndarray, betas: jnp.ndarray) -> jnp.ndarray:

@@ -37,11 +37,18 @@ def initialize(
         except Exception:
             needs_init = True
         if needs_init:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
+            try:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator_address,
+                    num_processes=num_processes,
+                    process_id=process_id,
+                )
+            except RuntimeError as e:
+                # already-initialized detection above peeks at a private jax
+                # module; if that path breaks on a future jax, treat the
+                # "already initialized" error as the no-op it is
+                if "already initialized" not in str(e).lower():
+                    raise
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

@@ -336,6 +336,58 @@ def test_semantic_nerfw_fused_delegation_matches_xla_path(monkeypatch):
     ])).sum()) > 0
 
 
+def test_pass_semantic_gradients_gates_density_grads():
+    """Semantic CE must not move density params by default (weights detached
+    in the semantic composite, reference semantic_nerfw.py:226-229); with
+    pass_semantic_gradients=True it must."""
+    from nerf_kbs_tpu.models import semantic_nerfw
+
+    base = dict(
+        num_images=3,
+        field_type="fourier",
+        fourier_num_levels=3,
+        num_proposal_samples_per_ray=(16, 8),
+        num_nerf_samples_per_ray=8,
+        proposal_num_levels=3,
+        proposal_max_res=(32, 64),
+        hidden_dim=16,
+        hidden_dim_color=16,
+        appearance_embedding_dim=0,
+        use_semantic=True,
+        num_semantic_classes=4,
+        stop_grad_sampling=True,
+    )
+    rays = make_rays(8)
+    batch = {"semantics_label": jnp.zeros((8,), jnp.int32)}
+
+    def sem_grad_norm(pass_grads: bool) -> float:
+        cfg = semantic_nerfw.SemanticNerfWConfig(
+            pass_semantic_gradients=pass_grads, **base
+        )
+        params = semantic_nerfw.init(jax.random.PRNGKey(0), cfg)
+
+        def loss_fn(p):
+            out = semantic_nerfw.forward(
+                p, cfg, rays, key=jax.random.PRNGKey(2), step=500
+            )
+            # semantic CE alone: any density gradient must come through the
+            # composite weights
+            from nerf_kbs_tpu.ops import losses as L
+
+            return L.semantic_loss(out["semantics"], batch["semantics_label"])
+
+        g = jax.grad(loss_fn)(params)
+        return float(
+            sum(
+                np.abs(np.ravel(x)).sum()
+                for x in jax.tree.leaves(g["fields"]["base_mlp"])
+            )
+        )
+
+    assert sem_grad_norm(False) == 0.0
+    assert sem_grad_norm(True) > 0.0
+
+
 def test_semantic_nerfw_use_mask_masks_rgb_loss():
     """use_mask + a batch 'mask' row must drop moving pixels from the rgb
     term (same masked-mean semantics as nerfacto.loss): corrupting a MASKED
