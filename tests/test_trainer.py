@@ -84,6 +84,35 @@ def test_trainer_loss_decreases_on_synthetic_scene(tmp_path):
     assert any("depth" in p.name for p in dumps)
 
 
+def test_render_camera_retries_donated_param_window(tmp_path, monkeypatch):
+    """A live-viewer render chunk that catches the train-step donation window
+    sees deleted Arrays; render_camera must re-read self.params and retry
+    rather than surface the error."""
+    trainer = make_trainer(tmp_path)
+    trainer.train(num_iterations=10)
+    real = trainer._render_chunk
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("Array has been deleted with shape=float32[8]")
+        return real(*a, **k)
+
+    monkeypatch.setattr(trainer, "_render_chunk", flaky)
+    out = trainer.render_camera(0)
+    assert np.isfinite(out["rgb"]).all()
+    assert calls["n"] >= 2
+
+    # a non-donation error must still surface
+    def broken(*a, **k):
+        raise RuntimeError("XLA compilation failed")
+
+    monkeypatch.setattr(trainer, "_render_chunk", broken)
+    with pytest.raises(RuntimeError, match="compilation"):
+        trainer.render_camera(0)
+
+
 def test_trainer_checkpoint_roundtrip(tmp_path):
     trainer = make_trainer(tmp_path, steps_per_save=10_000)
     trainer.train(num_iterations=20)
