@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--height", type=int, default=375)
     ap.add_argument("--width", type=int, default=1242)
     ap.add_argument("--platform", default=None)
+    ap.add_argument(
+        "--compress",
+        action="store_true",
+        help="apply the trainer's lossless host-feed wire codec "
+        "(TrainerConfig.compress_host_feed) to the shipped batch",
+    )
     args = ap.parse_args()
 
     if args.platform:
@@ -88,7 +94,12 @@ def main():
     def scan_step(params, opt_state, stacked, step):
         def body(carry, xs):
             params, opt_state = carry
-            batch = xs
+            if args.compress:
+                from nerf_kbs_tpu.engine.trainer import Trainer
+
+                batch = Trainer._decode_feed(xs)
+            else:
+                batch = xs
 
             def loss_fn(p):
                 rays = generate_rays(cameras_d, batch["ray_indices"])
@@ -104,6 +115,8 @@ def main():
         (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), stacked)
         return params, opt_state, losses[-1]
 
+    codec = {}
+
     def assemble(d0):
         batches = [
             native.sample_ray_batch(
@@ -111,7 +124,14 @@ def main():
             )
             for i in range(K)
         ]
-        return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+        stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+        if args.compress:
+            from nerf_kbs_tpu.engine.trainer import Trainer
+
+            if not codec:
+                codec.update(Trainer._choose_feed_codec(None, stacked))
+            stacked = Trainer._encode_feed(stacked, codec)
+        return stacked
 
     # -------- phase timings (each synchronously blocked) ------------------
     stacked_np = assemble(0)
