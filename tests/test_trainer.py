@@ -84,6 +84,43 @@ def test_trainer_loss_decreases_on_synthetic_scene(tmp_path):
     assert any("depth" in p.name for p in dumps)
 
 
+def test_host_feed_codec_roundtrip_and_gating():
+    """The wire codec must be bit-exact on uint8-sourced rows and must NOT
+    touch keys it cannot encode losslessly."""
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.engine.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (4, 64, 3), dtype=np.uint8)
+    stacked = {
+        "ray_indices": rng.integers(0, 1242, (4, 64, 3)).astype(np.int32),
+        "image": u8.astype(np.float32) / 255.0,
+        "mask": rng.integers(0, 2, (4, 64, 1)).astype(np.float32),
+        "semantics_label": rng.integers(0, 4, (4, 64)).astype(np.int32),
+        "depth_image": rng.uniform(1, 80, (4, 64, 1)).astype(np.float32),
+        "time": rng.uniform(-1, 1, (4, 64, 1)).astype(np.float32),
+        "big_ids": rng.integers(0, 100_000, (4, 64)).astype(np.int32),
+    }
+    codec = Trainer._choose_feed_codec(None, stacked)
+    assert codec == {
+        "ray_indices": "i16",
+        "image": "u8x255",
+        "mask": "u8x255",
+        "semantics_label": "i16",
+    }
+    enc = Trainer._encode_feed(stacked, codec)
+    assert enc["image"].dtype == np.uint8
+    assert enc["ray_indices"].dtype == np.int16
+    assert enc["depth_image"].dtype == np.float32  # untouched
+    assert enc["big_ids"].dtype == np.int32  # exceeds int16, untouched
+    dec = Trainer._decode_feed({k: jnp.asarray(v) for k, v in enc.items()})
+    for k, v in stacked.items():
+        got = np.asarray(dec[k])
+        assert got.dtype == v.dtype, k
+        np.testing.assert_array_equal(got, v, err_msg=k)  # BIT-exact
+
+
 def test_render_camera_retries_donated_param_window(tmp_path, monkeypatch):
     """A live-viewer render chunk that catches the train-step donation window
     sees deleted Arrays; render_camera must re-read self.params and retry
