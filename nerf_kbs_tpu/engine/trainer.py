@@ -156,10 +156,14 @@ class Trainer:
         uint8; 'i16': int32 whose values fit int16; 'u8_binary': f32 {0,1} ->
         uint8. Anything else ships as-is."""
         codec = {}
+        # u8x255 only for keys KNOWN to be uint8-sourced: the codec is chosen
+        # from the first dispatch, so a continuous f32 key (depth, flow) that
+        # coincidentally quantizes in the first chunk must never be eligible
+        u8_keys = {"image", "mask", "sky"}
         for k, v in stacked.items():
             if v.dtype == np.int32 and v.size and 0 <= v.min() and v.max() < 32767:
                 codec[k] = "i16"
-            elif v.dtype == np.float32 and v.size:
+            elif k in u8_keys and v.dtype == np.float32 and v.size:
                 q = v * np.float32(255.0)
                 r = np.rint(q)
                 if np.abs(q - r).max() < 1e-3 and r.min() >= 0 and r.max() <= 255:
@@ -174,7 +178,11 @@ class Trainer:
             if v is None:
                 continue
             if c == "i16":
-                out[k] = v.astype(np.int16)
+                # cheap per-dispatch guard: index-like keys have dataset-
+                # constant bounds, but ship int32 if a batch ever exceeds
+                # int16 (decode is dtype-driven, so mixed dispatches are fine)
+                if v.size and v.max() < 32767 and v.min() >= 0:
+                    out[k] = v.astype(np.int16)
             elif c == "u8x255":
                 out[k] = np.rint(v * np.float32(255.0)).astype(np.uint8)
         return out
