@@ -285,12 +285,25 @@ def nerfacto_field_apply(
             jnp.concatenate([geo, p_enc], axis=-1),
             cfg.pred_normal_mlp,
         )
-        out["pred_normals"] = pn / (jnp.linalg.norm(pn, axis=-1, keepdims=True) + 1e-8)
+        out["pred_normals"] = pn * jax.lax.rsqrt(
+            jnp.sum(pn * pn, axis=-1, keepdims=True) + 1e-12
+        )
 
     if compute_normals:
-        grad = jax.grad(lambda p: jnp.sum(nerfacto_density(params, cfg, p)))(positions)
+        # differentiate the SAME coarse-to-fine-windowed field that renders:
+        # without the window, early-training normals would be gradients of
+        # full-frequency random-feature noise the rendered field never sees
+        grad = jax.grad(
+            lambda p: jnp.sum(nerfacto_density(params, cfg, p, window))
+        )(positions)
         n = -grad
-        out["normals"] = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-8)
+        # eps INSIDE the sqrt: jnp.linalg.norm's VJP is n/|n|, which is NaN
+        # at n == 0 — and the coarse-to-fine window makes zero density
+        # gradients common early in training (the +eps-outside form only
+        # guards the division, not the norm's own backward)
+        out["normals"] = n * jax.lax.rsqrt(
+            jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12
+        )
 
     return out
 
@@ -402,7 +415,6 @@ def fused_enabled(cfg_encoding: str) -> bool:
 def _fourier_fused_call(params_key: str, params, fourier_cfg, mlp_cfg, x_t, window,
                         need_dx: bool = True):
     """Shared fused evaluation: x_t (3, R, S) RAW positions -> (out, R, S)."""
-    import numpy as np
 
     from nerf_kbs_tpu.ops.contraction import contract_to_unit_cube_t
     from nerf_kbs_tpu.ops.fused_field import FusedMLPSpec, fourier_mlp
@@ -505,7 +517,10 @@ def nerfacto_field_apply_t(
         # 2H + 3*width, so shrink the tile as width grows (anchor: flagship
         # load 640 fits at 4096 without dx; round-2 big field load ~1150 fit
         # at 2048 WITH dx).
-        load = 2 * B.shape[1] + 3 * max(base_dims + rgb_dims)
+        # max over HIDDEN widths only: base_dims[0] is the 2H input dim,
+        # which the 2*H term already accounts for (including it doubled the
+        # load estimate and silently shrank the flagship tile 4096 -> 2048)
+        load = 2 * B.shape[1] + 3 * max(base_dims[1:] + rgb_dims[1:])
         if need_dx or load > 700:
             tile = 2048 if load <= 1400 else 1024
         else:

@@ -248,8 +248,14 @@ def forward(
     if cfg.field_type == "fourier":
         from nerf_kbs_tpu.ops.encoding import fourier_window
 
-        progress = jnp.clip(
-            jnp.asarray(step, jnp.float32) / cfg.fourier_anneal_steps, 0.0, 1.0
+        # anneal_steps <= 0 disables windowing (guard: 0/0 at step 0 is NaN,
+        # and jnp.clip passes NaN through)
+        progress = (
+            jnp.clip(
+                jnp.asarray(step, jnp.float32) / cfg.fourier_anneal_steps, 0.0, 1.0
+            )
+            if cfg.fourier_anneal_steps > 0
+            else jnp.ones((), jnp.float32)
         )
         field_window = fourier_window(cfg.field.fourier, progress)
         prop_windows = [

@@ -241,7 +241,11 @@ def semantic_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Mean cross-entropy over (B, K) logits and (B,) int labels
     (reference semantic CE, semantic_nerfw.py:269-279, weight 0.05)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+    # one-hot contraction, not take_along_axis: per-row gathers run at
+    # scalar rate on TPU (CLAUDE.md); this traces into every semantic-nerfw
+    # train step
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+    return -jnp.mean(jnp.sum(logp * onehot, axis=-1))
 
 
 # ---------------------------------------------------------------------------

@@ -81,18 +81,6 @@ class RaySamples:
 # ---------------------------------------------------------------------------
 
 
-def make_spacing_fns(kind: str):
-    """Returns (s_to_t_unit, t_unit_to_s): warps between s in [0,1] and a unit
-    parameter later affinely mapped to [near, far] (for 'uniform'/'lindisp'
-    the mapping composes with near/far; 'piecewise' handles near/far itself)."""
-    if kind == "uniform":
-        return (lambda s: s), (lambda t: t)
-    if kind == "lindisp":
-        # 1/t linear in s given t in [near, far] handled by caller via composition
-        return (lambda s: s), (lambda t: t)  # composed in spacing_to_euclidean
-    raise ValueError(kind)
-
-
 def spacing_to_euclidean(
     s: jnp.ndarray, nears: jnp.ndarray, fars: jnp.ndarray, kind: str
 ) -> jnp.ndarray:
@@ -113,17 +101,6 @@ def spacing_to_euclidean(
 # ---------------------------------------------------------------------------
 # samplers
 # ---------------------------------------------------------------------------
-
-
-def batched_searchsorted(sorted_arr: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
-    """Per-row searchsorted(side='right'): counts of sorted_arr[r, :] <=
-    queries[r, :]. Shapes (R, S) x (R, Q) -> (R, Q) int32.
-
-    TPU note: vmapped jnp.searchsorted lowers to a sequential scan (measured
-    ~86 ms for the proposal chain at 4096 rays); this O(S*Q) comparison-sum
-    form is pure VPU work and is ~2 orders faster at NeRF sizes."""
-    cmp = sorted_arr[:, :, None] <= queries[:, None, :]
-    return jnp.sum(cmp, axis=1).astype(jnp.int32)
 
 
 def uniform_sampler(
