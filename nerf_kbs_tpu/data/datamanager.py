@@ -38,6 +38,8 @@ def _load_depth(path: str, scale: float) -> np.ndarray:
         import cv2
 
         d = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
+        if d is None:  # cv2.imread signals failure by returning None
+            raise FileNotFoundError(f"unreadable depth file: {path}")
     return d.astype(np.float32) * scale
 
 
@@ -63,9 +65,9 @@ class InMemoryDataManager:
         self,
         train_outputs: DataparserOutputs,
         eval_outputs: DataparserOutputs,
-        config: DataManagerConfig = DataManagerConfig(),
+        config: "DataManagerConfig | None" = None,
     ):
-        self.config = config
+        self.config = DataManagerConfig() if config is None else config
         self.train_outputs = train_outputs
         self.eval_outputs = eval_outputs
         self.train_cameras = train_outputs.cameras()

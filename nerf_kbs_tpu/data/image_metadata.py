@@ -96,7 +96,10 @@ class ImageMetadata:
         else:
             import cv2
 
-            d = cv2.imread(p, cv2.IMREAD_ANYDEPTH).astype(np.float32)
+            d = cv2.imread(p, cv2.IMREAD_ANYDEPTH)
+            if d is None:  # cv2.imread signals failure by returning None
+                raise FileNotFoundError(f"unreadable depth file: {p}")
+            d = d.astype(np.float32)
         if d.shape != (self.H, self.W):
             import cv2
 

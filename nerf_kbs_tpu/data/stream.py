@@ -65,14 +65,30 @@ class ChunkedStreamDataManager:
         self,
         train_items: list[ImageMetadata],
         eval_items: list[ImageMetadata],
-        config: StreamConfig = StreamConfig(),
+        config: Optional[StreamConfig] = None,
     ):
         if not train_items:
             raise ValueError("no train items")
+        config = StreamConfig() if config is None else config
         self.config = config
         self.train_items = train_items
         self.eval_items = eval_items
         self._rng = np.random.default_rng(config.seed + config.shard_index)
+        # STABLE per-run key set, decided from ALL items up front: optional
+        # supervision is emitted only when every frame can produce it, so the
+        # batch pytree structure never varies across chunks (a key present in
+        # one chunk and absent in the next would KeyError the scanned
+        # dispatch's np.stack, or silently retrace the jitted step)
+        self._emit_depth = config.with_depth and all(
+            it.depth_path is not None for it in train_items
+        )
+        self._emit_sky = config.with_sky and all(
+            it.sky_mask_path is not None for it in train_items
+        )
+        self._emit_features = config.with_features and all(
+            it.feature_path is not None for it in train_items
+        )
+        self._chunk_counter = 0
         # deliberately single-worker: chunk builds are serialized (see module
         # docstring); asset loads inside a build still fan out
         self._chunk_executor = ThreadPoolExecutor(max_workers=1)
@@ -124,7 +140,7 @@ class ChunkedStreamDataManager:
             ).astype(np.int32),
             "image": img[rr, cc].astype(np.float32) / 255.0,
         }
-        if self.config.with_depth and it.depth_path is not None:
+        if self._emit_depth:
             depth = it.load_depth()
             rows["depth_image"] = depth[rr, cc][:, None].astype(np.float32)
         if self.config.with_time:
@@ -165,10 +181,10 @@ class ChunkedStreamDataManager:
                     np.asarray(it.intrinsics, np.float32)[None], (n, 1)
                 )
             rows["pixel_xy"] = np.stack([cc + 0.5, rr + 0.5], -1).astype(np.float32)
-        if self.config.with_sky and it.sky_mask_path is not None:
+        if self._emit_sky:
             sky = it.load_sky_mask()
             rows["sky"] = sky[rr, cc][:, None].astype(np.float32)
-        if self.config.with_features and it.feature_path is not None:
+        if self._emit_features:
             feats = it.load_features()  # possibly stored at reduced resolution
             # sub-pixel index math for reduced-res feature maps (reference
             # dataset_z.py:331-342)
@@ -187,8 +203,14 @@ class ChunkedStreamDataManager:
         if cfg.load_random_subset:
             # uniform (image, pixel) draws (reference _load_random_subset,
             # dataset_z.py:180-191): split the pixel budget multinomially over
-            # frames, then take a uniform masked-pixel subset of each frame
-            counts = self._rng.multinomial(target, np.full(n_items, 1.0 / n_items))
+            # frames, then take a uniform masked-pixel subset of each frame.
+            # The draws use a rng seeded WITHOUT shard_index so every host
+            # materializes the SAME subset — the every-Nth-row shard filter
+            # below then partitions it disjointly (host-specific subsets
+            # would overlap across hosts and defeat the filter).
+            sub_rng = np.random.default_rng((cfg.seed, self._chunk_counter))
+            self._chunk_counter += 1
+            counts = sub_rng.multinomial(target, np.full(n_items, 1.0 / n_items))
             chosen = np.nonzero(counts)[0]
             with ThreadPoolExecutor(cfg.num_asset_workers) as ex:
                 for i, rows in zip(chosen, ex.map(self._load_image_rows, chosen)):
@@ -196,7 +218,7 @@ class ChunkedStreamDataManager:
                     k = min(int(counts[i]), n)
                     if k == 0:
                         continue
-                    sel = self._rng.choice(n, size=k, replace=False)
+                    sel = sub_rng.choice(n, size=k, replace=False)
                     parts.append({key: v[sel] for key, v in rows.items()})
                     total += k
         else:
@@ -242,6 +264,14 @@ class ChunkedStreamDataManager:
             self._chunk = self._next_chunk_future.result()
             self._cursor = 0
             self._next_chunk_future = self._chunk_executor.submit(self._build_chunk)
+        n = self._chunk["ray_indices"].shape[0]
+        if n < b:
+            # tiny shard/dataset: cycle rows so the batch keeps its fixed
+            # shape (a short batch would KeyError the scanned np.stack or
+            # retrace the jitted step)
+            idx = np.arange(b) % n
+            self._cursor = n  # chunk consumed; next call swaps
+            return {k: v[idx] for k, v in self._chunk.items()}
         s = slice(self._cursor, self._cursor + b)
         self._cursor += b
         return {k: v[s] for k, v in self._chunk.items()}

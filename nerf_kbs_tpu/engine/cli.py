@@ -83,7 +83,35 @@ def _iter_leaf_fields(obj: Any, prefix: str = ""):
                 yield path, v
 
 
-def _convert(raw: str, current: Any):
+def _leaf_declared_type(spec: Any, path: list[str]):
+    """Declared (annotation) type of a leaf field, with Optional unwrapped —
+    needed to parse CLI overrides of fields whose CURRENT value is None
+    (Optional[float] like lr_final/max_norm must not be stored as strings)."""
+    import typing
+
+    obj = spec
+    for p in path[:-1]:
+        obj = getattr(obj, p) if dataclasses.is_dataclass(obj) else obj[p]
+    if not dataclasses.is_dataclass(obj):
+        return None
+    try:
+        hints = typing.get_type_hints(type(obj))
+    except Exception:
+        return None
+    import types
+
+    t = hints.get(path[-1])
+    # both Optional[X] (typing.Union) and X | None (types.UnionType)
+    if typing.get_origin(t) in (typing.Union, types.UnionType):
+        non_none = [a for a in typing.get_args(t) if a is not type(None)]
+        if len(non_none) == 1:
+            t = non_none[0]
+    return t
+
+
+def _convert(raw: str, current: Any, declared: Any = None):
+    if current is None and raw.lower() != "none" and declared in (float, int, bool):
+        return _convert(raw, declared())  # parse by the declared type
     if isinstance(current, bool):
         if raw.lower() in ("true", "1", "yes"):
             return True
@@ -133,8 +161,9 @@ def apply_overrides(spec: MethodSpec, overrides: dict[str, str]) -> MethodSpec:
                     f"unknown or ambiguous option --{key} (candidates: {matches or sorted(leaves)[:20]})"
                 )
             norm = matches[0]
-        value = _convert(raw, leaves[norm])
-        spec = _set_path(spec, norm.split("."), value)
+        path = norm.split(".")
+        value = _convert(raw, leaves[norm], _leaf_declared_type(spec, path))
+        spec = _set_path(spec, path, value)
     return spec
 
 
@@ -162,15 +191,16 @@ def build_trainer(spec: MethodSpec) -> Trainer:
         model_cfg = dataclasses.replace(
             model_cfg, num_semantic_classes=len(dm.semantics.classes)
         )
-    if getattr(model_cfg, "camera_optimizer", "off") != "off" and "camera_opt" not in spec.optimizers:
-        spec.optimizers["camera_opt"] = OptimizerConfig(lr=6e-4, eps=1e-8)
+    optimizers = dict(spec.optimizers)  # never mutate the (shared) spec
+    if getattr(model_cfg, "camera_optimizer", "off") != "off" and "camera_opt" not in optimizers:
+        optimizers["camera_opt"] = OptimizerConfig(lr=6e-4, eps=1e-8)
     if spec.trainer.mixed_precision and hasattr(model_cfg, "compute_dtype"):
         import jax
 
         if jax.default_backend() == "tpu":
             model_cfg = dataclasses.replace(model_cfg, compute_dtype="bfloat16")
     return Trainer(
-        spec.trainer, _model_module(spec.model_name), model_cfg, spec.optimizers, dm
+        spec.trainer, _model_module(spec.model_name), model_cfg, optimizers, dm
     )
 
 
@@ -226,11 +256,20 @@ def main(argv: Optional[list[str]] = None) -> None:
     eval_only = overrides.pop("eval-only", overrides.pop("eval_only", "false")).lower() in ("1", "true")
     render_only = overrides.pop("render-only", overrides.pop("render_only", "false")).lower() in ("1", "true")
     render_dir = overrides.pop("render-dir", overrides.pop("render_dir", "renders"))
-    # reference eval-camera overrides (datamanager_z.py:138-207)
-    focal_mult = overrides.pop("render-focal-mult", None)
-    pos_shift = overrides.pop("render-pos-shift", None)  # "x,y,z"
-    frame_range = overrides.pop("render-frame-range", None)  # "lo,hi"
-    ring_view = overrides.pop("render-ring-view", "false").lower() in ("1", "true")
+    # reference eval-camera overrides (datamanager_z.py:138-207); both
+    # spellings accepted, like the run-mode flags above
+    focal_mult = overrides.pop(
+        "render-focal-mult", overrides.pop("render_focal_mult", None)
+    )
+    pos_shift = overrides.pop(
+        "render-pos-shift", overrides.pop("render_pos_shift", None)
+    )  # "x,y,z"
+    frame_range = overrides.pop(
+        "render-frame-range", overrides.pop("render_frame_range", None)
+    )  # "lo,hi"
+    ring_view = overrides.pop(
+        "render-ring-view", overrides.pop("render_ring_view", "false")
+    ).lower() in ("1", "true")
     serve_port = int(overrides.pop("serve", "0") or 0)
     # --viewer-port N: serve the interactive viewer DURING training (live
     # renders from the current params + free orbit camera; the reference's

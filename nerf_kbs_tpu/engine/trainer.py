@@ -310,11 +310,12 @@ class Trainer:
                 last_metrics = metrics
                 t0 = time.perf_counter()
                 rays_done = 0
-            if self.step % cfg.steps_per_eval_image == 0:
-                idx = int(np.random.default_rng(self.step).integers(self.dm.num_eval_images()))
+            n_eval = self.dm.num_eval_images()
+            if self.step % cfg.steps_per_eval_image == 0 and n_eval > 0:
+                idx = int(np.random.default_rng(self.step).integers(n_eval))
                 em = self.eval_image(idx)
                 self._log({"step": self.step, **{f"eval_{k}": v for k, v in em.items()}})
-            if self.step % cfg.steps_per_eval_all_images == 0:
+            if self.step % cfg.steps_per_eval_all_images == 0 and n_eval > 0:
                 am = self.eval_all_images()
                 self._log({"step": self.step, **{f"eval_all_{k}": v for k, v in am.items()}})
             if self.step % cfg.steps_per_save == 0:

@@ -9,9 +9,13 @@ consumes sharded inputs with replicated params). There is no explicit
 world_size/rank plumbing or per-rank sampler — the ``// world_size`` batch
 split (datamanager_z.py:226) becomes a NamedSharding constraint.
 
-Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh()`` and
-feed each host its local shard via ``host_local_batch`` (DCN handles the
-cross-host legs of the collectives).
+Multi-host: call ``parallel.multihost.initialize()`` (wraps
+``jax.distributed.initialize``) before ``make_mesh()``; each host slices its
+local rows with ``parallel.multihost.local_batch_slice`` and assembles the
+global sharded batch via ``jax.make_array_from_process_local_data`` (see
+tests/test_multihost_dcn.py for the full two-process recipe). ``shard_batch``
+below is the single-host path — its ``jax.device_put`` to a mesh spanning
+non-addressable devices would be rejected on multi-host.
 """
 
 from __future__ import annotations

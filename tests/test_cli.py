@@ -60,6 +60,23 @@ def test_apply_overrides_dotted_and_suffix():
     assert spec.trainer.load_dir is None
 
 
+def test_apply_overrides_optional_numeric_fields():
+    """Fields whose CURRENT value is None (Optional[float]/[int]) must parse
+    by their declared type, not be stored as raw strings."""
+    spec = method_registry["nerfacto"]()
+    spec = apply_overrides(spec, {
+        "optimizers.fields.lr_final": "1e-5",
+        "optimizers.fields.max_norm": "1.0",
+    })
+    assert spec.optimizers["fields"].lr_final == 1e-5
+    assert spec.optimizers["fields"].max_norm == 1.0
+    # and the schedule that divides lr_final / lr now works
+    spec.optimizers["fields"].schedule()
+    # Optional[str] still passes strings through
+    spec = apply_overrides(spec, {"trainer.load_dir": "/tmp/ckpts"})
+    assert spec.trainer.load_dir == "/tmp/ckpts"
+
+
 def test_apply_overrides_rejects_unknown():
     spec = method_registry["nerfacto"]()
     with pytest.raises(SystemExit, match="unknown or ambiguous"):
