@@ -49,11 +49,25 @@ def load_frames_and_masks(cfg: InpaintDriverConfig):
 
     frame_paths = _list_frames(cfg.image_dir)
     mask_paths = _list_frames(cfg.mask_dir)
-    n = min(len(frame_paths), len(mask_paths))
-    if n == 0:
+    if not frame_paths or not mask_paths:
         raise ValueError(f"no frames/masks under {cfg.image_dir} / {cfg.mask_dir}")
+    # pair by filename STEM, not by sorted-order zip: one missing mid-sequence
+    # mask would silently shift every subsequent frame onto its neighbor's
+    # mask (wrong regions inpainted, no error)
+    by_stem = {p.stem: p for p in mask_paths}
+    pairs = [(fp, by_stem[fp.stem]) for fp in frame_paths if fp.stem in by_stem]
+    if not pairs:
+        raise ValueError(
+            f"no frame/mask stem matches between {cfg.image_dir} and {cfg.mask_dir}"
+        )
+    missing = [fp.name for fp in frame_paths if fp.stem not in by_stem]
+    if missing:
+        raise ValueError(
+            f"masks missing for {len(missing)} frame(s), e.g. {missing[:3]} — "
+            f"every frame needs a same-stem mask in {cfg.mask_dir}"
+        )
     frames, masks = [], []
-    for fp, mp in zip(frame_paths[:n], mask_paths[:n]):
+    for fp, mp in pairs:
         with Image.open(fp) as im:
             frames.append(
                 np.asarray(im.convert("RGB").resize((cfg.width, cfg.height)), np.float32)
@@ -64,7 +78,7 @@ def load_frames_and_masks(cfg: InpaintDriverConfig):
             masks.append(
                 dilate_mask(m.astype(np.uint8), cfg.dilate_size, cfg.dilate_iters)
             )
-    return np.stack(frames), np.stack(masks).astype(np.float32), [p.name for p in frame_paths[:n]]
+    return np.stack(frames), np.stack(masks).astype(np.float32), [fp.name for fp, _ in pairs]
 
 
 def inpaint_video(
@@ -96,7 +110,12 @@ def inpaint_video(
 
     out = frames.copy()
     visited = np.zeros(t, bool)
-    for center in range(0, t, neighbor_stride):
+    # a stride larger than the window would leave gap frames un-inpainted
+    # (the reference derives its window from the stride and cannot skip);
+    # clamp, and anchor a final window at the tail so every frame is visited
+    step = min(max(neighbor_stride, 1), max(window, 1))
+    centers = list(dict.fromkeys(list(range(0, t, step)) + [max(0, t - 1)]))
+    for center in centers:
         lo = max(0, center - window // 2)
         hi = min(t, lo + window)
         lo = max(0, hi - window)

@@ -32,7 +32,7 @@ import numpy as np
 # person, bicycle; reference motion_mask_util.py:225-270)
 DYNAMIC_CATEGORIES = (13, 14, 15, 16, 18)
 
-KITTI_STEREO_SCALE = 5.4  # metric scaling presets (reference x5.37 kitti,
+KITTI_STEREO_SCALE = 5.37  # metric scaling presets (reference x5.37 kitti,
 TUM_STEREO_SCALE = 0.747  # x0.747 tum, motion_mask.py:335-340)
 
 

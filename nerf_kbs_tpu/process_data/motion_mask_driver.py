@@ -51,6 +51,9 @@ class MotionMaskConfig:
     th_r: float = 0.3
     m_th: float = 0.6
     raft_iters: int = 20
+    # precomputed instance masks in the REFERENCE file convention
+    # (get_instance_mask writes 255 - mask: 0 = object, 255 = static
+    # background; motion_mask.py:475 feeds them to the fusion directly)
     instance_mask_dir: Optional[str] = None
     # panoptic KITTI-STEP annotation dir (converted to dynamic-class masks)
     panoptic_dir: Optional[str] = None
@@ -99,14 +102,24 @@ def pad_to_multiple(img: np.ndarray, mult: int = 8) -> tuple[np.ndarray, tuple]:
     return out, (h, w)
 
 
-def _predict_depth(m2, m2_vars, img, camera: str):
-    """Flip post-processed metric depth (reference :315-344)."""
+def _predict_depth(disp_fn, img, camera: str):
+    """Flip post-processed metric depth (reference :315-344). The input is
+    replicate-padded to a multiple of 32 (the encoder's total stride) and the
+    disparity cropped back — at other sizes the decoder returns a DIFFERENT
+    shape than the input (e.g. 641 -> 642), silently misaligning the
+    rigid-flow chain."""
     import jax.numpy as jnp
 
+    h0, w0 = img.shape[:2]
+    img, _ = pad_to_multiple(img, 32)
     batch = jnp.stack([jnp.asarray(img), jnp.asarray(img[:, ::-1])])
-    disp = np.asarray(m2.predict_disparity(m2_vars, batch))
+    disp = np.asarray(disp_fn(batch))
+    # unflip the flipped arm over the PADDED width first, then crop both
+    # arms back to the original size (the pad lands left of the flipped
+    # frame, so cropping before the unflip would keep the wrong region)
     fused = MM.post_process_disparity(
-        jnp.asarray(disp[:1]), jnp.asarray(disp[1:, :, ::-1])
+        jnp.asarray(disp[:1, :h0, :w0]),
+        jnp.asarray(disp[1:, :, ::-1][:, :h0, :w0]),
     )
     _, depth = MM.disp_to_depth(fused[0])
     return np.asarray(MM.metric_depth(depth, camera))
@@ -169,6 +182,22 @@ def run(cfg: MotionMaskConfig, max_frames: Optional[int] = None) -> dict:
 
     import jax.numpy as jnp
 
+    # jit each heavy net ONCE (shapes are constant across frames): unjitted,
+    # the per-frame loop dispatched thousands of individual ops per frame
+    # through the remote tunnel at ~40 us/op fixed cost (CLAUDE.md)
+    disp_fn = jax.jit(lambda batch: m2.predict_disparity(m2_vars, batch))
+    pose_fn = jax.jit(lambda a, b: m2.predict_pose(m2_vars, a, b))
+    flow_fn = jax.jit(lambda a, b: raft.compute_flow(raft_vars, a, b))
+
+    def rigid_prob_hard(depth, pose_vec, optical):
+        rigid = W.pose2flow(
+            depth[None], pose_vec[None], jnp.asarray(K)[None], jnp.asarray(K_inv)[None]
+        )[0]
+        prob = MM.moving_probability(optical, rigid)
+        return rigid, prob, MM.hard_motion_mask(prob, cfg.th_r)
+
+    rigid_fn = jax.jit(rigid_prob_hard)
+
     def load(p):
         with Image.open(p) as im:
             return (
@@ -182,26 +211,26 @@ def run(cfg: MotionMaskConfig, max_frames: Optional[int] = None) -> dict:
         img_a = load(frame_paths[i])
         img_b = load(frame_paths[i + 1])
 
-        depth = _predict_depth(m2, m2_vars, img_a, cfg.depth_camera)
+        depth = _predict_depth(disp_fn, img_a, cfg.depth_camera)
         pose_vec = np.asarray(
-            m2.predict_pose(m2_vars, jnp.asarray(img_a)[None], jnp.asarray(img_b)[None])
+            pose_fn(jnp.asarray(img_a)[None], jnp.asarray(img_b)[None])
         )[0]
         poses.append(pose_vec)
 
-        rigid = np.asarray(
-            W.pose2flow(
-                jnp.asarray(depth)[None], jnp.asarray(pose_vec)[None],
-                jnp.asarray(K)[None], jnp.asarray(K_inv)[None],
-            )
-        )[0]  # (2, H, W)
+        # RAFT's 1/8-resolution + convex upsample needs multiples of 8 (the
+        # reference's InputPadder); replicate-pad and crop the flow back
+        pa, (h0, w0) = pad_to_multiple(img_a, 8)
+        pb, _ = pad_to_multiple(img_b, 8)
         optical = np.asarray(
-            raft.compute_flow(
-                raft_vars, jnp.asarray(img_a)[None], jnp.asarray(img_b)[None]
-            )
-        )[0].transpose(2, 0, 1)  # (2, H, W)
+            flow_fn(jnp.asarray(pa)[None], jnp.asarray(pb)[None])
+        )[0, :h0, :w0].transpose(2, 0, 1)  # (2, H, W)
 
-        prob = np.asarray(MM.moving_probability(jnp.asarray(optical), jnp.asarray(rigid)))
-        hard = np.asarray(MM.hard_motion_mask(jnp.asarray(prob), cfg.th_r))
+        rigid, prob, hard = rigid_fn(
+            jnp.asarray(depth), jnp.asarray(pose_vec), jnp.asarray(optical)
+        )
+        rigid = np.asarray(rigid)  # (2, H, W)
+        prob = np.asarray(prob)
+        hard = np.asarray(hard)
 
         combined = hard
         if cfg.instance_mask_dir:
@@ -209,7 +238,9 @@ def run(cfg: MotionMaskConfig, max_frames: Optional[int] = None) -> dict:
             if ip.exists():
                 with Image.open(ip) as im:
                     ins = np.asarray(im.convert("L"), np.float32) / 255.0
-                combined, _ = MM.fuse_instance_motion_mask(1.0 - ins, hard, cfg.m_th)
+                # files use the reference convention (1 = background), which
+                # is exactly the fusion's input convention — no inversion
+                combined, _ = MM.fuse_instance_motion_mask(ins, hard, cfg.m_th)
         elif cfg.panoptic_dir:
             pp = Path(cfg.panoptic_dir) / frame_paths[i].name
             if pp.exists():
@@ -247,7 +278,16 @@ def run(cfg: MotionMaskConfig, max_frames: Optional[int] = None) -> dict:
         dshow = (np.clip(depth / 80.0, 0, 1) * 255).astype(np.uint8)
         Image.fromarray(dshow).save(subdirs["depth_show"] / f"{stem}.png")
 
-    np.save(out_root / "poses.npy", np.stack(poses))
+    # reference format: (N, 4, 4) transformation matrices
+    # (transformation_from_parameters, motion_mask.py:391-392,510-512) —
+    # the same euler pose_vec -> matrix conversion pose2flow applies above
+    from nerf_kbs_tpu.cameras.poses import to_homogeneous
+    from nerf_kbs_tpu.cameras.transforms import pose_vec2mat
+
+    pose_mats = np.asarray(
+        to_homogeneous(np.asarray(pose_vec2mat(jnp.asarray(np.stack(poses)))))
+    )
+    np.save(out_root / "poses.npy", pose_mats)
     return {
         "frames": len(frame_paths) - 1,
         "dynamic_pixels": n_dynamic,

@@ -214,7 +214,7 @@ class RAFT:
                      iters: int | None = None) -> jnp.ndarray:
         """img1, img2: (B, H, W, 3) in [0, 1], H and W multiples of 8
         (the reference pads with InputPadder, motion_mask.py:410-413 — use
-        process_data.raft_driver.pad_to_multiple)."""
+        process_data.motion_mask_driver.pad_to_multiple)."""
         cfg = self.cfg
         iters = iters or cfg.iters
         x1 = 2.0 * img1 - 1.0

@@ -67,7 +67,13 @@ class InstanceSegmenter(nn.Module):
             b, h, w_, c = x.shape
             x = jax.image.resize(x, (b, 2 * h, 2 * w_, c), "nearest")
             skip = skips[i]
-            x = x[:, : skip.shape[1], : skip.shape[2], :]
+            # odd skip dims shrink through max_pool (floor), so the upsampled
+            # x can be one row/col SHORT of the skip: pad up (edge), never
+            # crop — 2*floor(n/2) <= n means x is never larger than skip
+            dh = skip.shape[1] - x.shape[1]
+            dw = skip.shape[2] - x.shape[2]
+            if dh or dw:
+                x = jnp.pad(x, ((0, 0), (0, dh), (0, dw), (0, 0)), mode="edge")
             x = jnp.concatenate([x, skip], axis=-1)
             x = ConvBlock(self.cfg.widths[i], name=f"up_{i}")(x)
         return nn.Conv(3, (1, 1), name="head")(x)

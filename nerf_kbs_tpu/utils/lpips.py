@@ -57,10 +57,13 @@ class LPIPS:
         self.net = VGG16Features()
         self.variables = variables
         self.lins = [jnp.asarray(w) for w in lin_weights]
+        # jit once: the two VGG16 forwards are ~60 ops each, and per-op fixed
+        # cost on this chip is ~40 us (CLAUDE.md) — unjitted, every eval
+        # image paid milliseconds of pure dispatch; shapes are fixed per eval
+        # so this compiles once
+        self._distance = jax.jit(self._distance_impl)
 
-    def __call__(self, pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
-        """pred/gt (H, W, 3) in [0, 1] -> scalar LPIPS distance."""
-
+    def _distance_impl(self, pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
         def feats(img):
             x = (2.0 * img - 1.0 - _SHIFT) / _SCALE
             return self.net.apply(self.variables, x[None])
@@ -73,6 +76,10 @@ class LPIPS:
             d = (a - b) ** 2  # (1, h, w, c)
             total = total + jnp.mean(jnp.sum(d * lin[None, None, None, :], axis=-1))
         return total
+
+    def __call__(self, pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+        """pred/gt (H, W, 3) in [0, 1] -> scalar LPIPS distance."""
+        return self._distance(pred, gt)
 
 
 def _ckpt_dir() -> Path:

@@ -140,7 +140,7 @@ def test_disparity_and_depth_utils():
     scaled, depth = MM.disp_to_depth(jnp.array(1.0))
     assert float(depth) == pytest.approx(0.1)
     d = MM.metric_depth(jnp.array([10.0, 1e6]), "kitti")
-    assert float(d[0]) == pytest.approx(54.0)
+    assert float(d[0]) == pytest.approx(53.7)  # reference x5.37 (motion_mask.py:338)
     assert float(d[1]) == 80.0
 
 
@@ -182,3 +182,38 @@ def test_instances_from_components():
     # fusing the blobs with the same motion mask marks them fully dynamic
     static = per_object_fusion(inst, mask, m_th=0.6)
     assert static[10, 10] == 0 and static[30, 45] == 0 and static[20, 30] == 1
+
+
+def test_motion_mask_driver_end_to_end_awkward_size(tmp_path):
+    """Full pipeline (monodepth2 + pose + RAFT + fusion, random weights) at a
+    size that is a multiple of neither 8 (RAFT) nor 32 (monodepth2 encoder):
+    the driver must pad/crop internally, and poses.npy must be the
+    reference's (N, 4, 4) matrix format (motion_mask.py:391-392,510-512)."""
+    import numpy as np
+    from PIL import Image
+
+    from nerf_kbs_tpu.process_data.motion_mask_driver import MotionMaskConfig, run
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, (90, 161, 3)).astype(np.uint8)
+    for i in range(3):
+        Image.fromarray(np.roll(base, shift=2 * i, axis=1)).save(d / f"{i:03d}.png")
+
+    res = run(
+        MotionMaskConfig(
+            image_path=str(d), output_path=str(tmp_path / "out"), camera="custom",
+            fx=100.0, fy=100.0, cx=80.0, cy=45.0, width=161, height=90,
+            raft_iters=2,
+        )
+    )
+    assert res["frames"] == 2
+    poses = np.load(tmp_path / "out" / "poses.npy")
+    assert poses.shape == (2, 4, 4)
+    np.testing.assert_allclose(poses[:, 3], np.tile([0, 0, 0, 1.0], (2, 1)))
+    for sub in ("moving_prob", "hard_mask", "combined_mask"):
+        files = list((tmp_path / "out" / sub).glob("*.png"))
+        assert len(files) == 2, sub
+        with Image.open(files[0]) as im:
+            assert im.size == (161, 90)
