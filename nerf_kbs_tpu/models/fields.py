@@ -183,6 +183,14 @@ def _density_from_base(h: jnp.ndarray):
     return density, h[..., 1:]
 
 
+def _in_box_selector(x: jnp.ndarray) -> jnp.ndarray:
+    """nerfstudio SceneBox semantics for the uncontracted path: density is
+    zero OUTSIDE the box. The (0.001, 1000) collider puts most ray samples
+    far outside the +-1 aabb, where the encodings clamp to edge cells — the
+    selector keeps those samples from contributing (or backpropagating)."""
+    return jnp.all((x >= 0.0) & (x <= 1.0), axis=-1).astype(jnp.float32)
+
+
 def nerfacto_density(
     params: dict, cfg: NerfactoFieldConfig, positions: jnp.ndarray, window=None
 ) -> jnp.ndarray:
@@ -196,6 +204,8 @@ def nerfacto_density(
     enc = _field_encode(params, cfg, x, window)
     h = mlp_apply(params["base_mlp"], enc, cfg.base_mlp)
     density, _ = _density_from_base(h)
+    if cfg.disable_scene_contraction:
+        density = density * _in_box_selector(x)
     return density
 
 
@@ -223,6 +233,8 @@ def nerfacto_field_apply(
     enc = _field_encode(params, cfg, x, window)
     h = mlp_apply(params["base_mlp"], enc, cfg.base_mlp)
     density, geo = _density_from_base(h)
+    if cfg.disable_scene_contraction:
+        density = density * _in_box_selector(x)
 
     d_enc = sh_encoding(directions, cfg.sh_levels)  # (R, 16)
     d_enc = jnp.broadcast_to(d_enc[:, None, :], (R, S, d_enc.shape[-1]))
@@ -375,6 +387,8 @@ def density_field_apply(params: dict, cfg: DensityFieldConfig, positions: jnp.nd
     enc = _field_encode(params, cfg, x, window)
     h = mlp_apply(params["mlp"], enc, cfg.mlp)
     density, _ = _density_from_base(h)
+    if cfg.disable_scene_contraction:
+        density = density * _in_box_selector(x)
     return density
 
 

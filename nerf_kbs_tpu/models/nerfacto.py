@@ -371,8 +371,10 @@ def forward(
             bg = rgb_t[:, :, -1].T
         elif cfg.background_color == "white":
             bg = jnp.ones_like(comp)
-        else:
+        elif cfg.background_color == "black":
             bg = jnp.zeros_like(comp)
+        else:  # mirror R.render_rgb: a typo must not silently train on black
+            raise ValueError(f"unknown background_color {cfg.background_color!r}")
         rgb = comp + bg * (1.0 - acc)
     else:
         rgb = R.render_rgb(weights, field_out["rgb"], cfg.background_color)
@@ -494,8 +496,13 @@ def loss(
             )
 
     total = sum(losses.values())
-    metrics = {
-        "psnr": 10.0 * jnp.log10(1.0 / jnp.maximum(L.mse_loss(pred, gt), 1e-12)),
-        **losses,
-    }
+    if cfg.use_mask and "mask" in batch:
+        # score only supervised (static) pixels, like semantic_nerfw.loss:
+        # moving pixels the model never trains on would deflate the metric
+        from nerf_kbs_tpu.ops.metrics import masked_psnr
+
+        psnr = masked_psnr(pred, gt, batch["mask"][..., 0])
+    else:
+        psnr = 10.0 * jnp.log10(1.0 / jnp.maximum(L.mse_loss(pred, gt), 1e-12))
+    metrics = {"psnr": psnr, **losses}
     return total, metrics

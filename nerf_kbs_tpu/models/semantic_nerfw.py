@@ -74,16 +74,11 @@ def forward(
     # flagship method too; outputs are a superset of what loss() consumes
     use_transient = cfg.use_transient_embedding and train
     if not use_transient:
-        from nerf_kbs_tpu.models.fields import fused_enabled
-
-        if (
-            fused_enabled(cfg.field_type)
-            and not cfg.predict_normals
-            and not cfg.disable_scene_contraction
-        ):
-            return _nerfacto.forward(
-                params, cfg, rays, key=key, step=step, train=train
-            )
+        # unconditional: nerfacto.forward itself picks fused vs XLA paths and
+        # handles predict_normals / disable_scene_contraction / the anneal
+        # guard — keeping a hand-copied pipeline here only for the non-fused
+        # case had already drifted (it lost the anneal_steps<=0 NaN guard)
+        return _nerfacto.forward(params, cfg, rays, key=key, step=step, train=train)
 
     rays = R.near_far_collider(rays, cfg.near_plane, cfg.far_plane)
     from nerf_kbs_tpu.models.fields import density_field_apply
@@ -91,8 +86,13 @@ def forward(
     if cfg.field_type == "fourier":
         from nerf_kbs_tpu.ops.encoding import fourier_window
 
-        progress = jnp.clip(
-            jnp.asarray(step, jnp.float32) / cfg.fourier_anneal_steps, 0.0, 1.0
+        # same guard as nerfacto.forward: anneal_steps <= 0 disables windowing
+        progress = (
+            jnp.clip(
+                jnp.asarray(step, jnp.float32) / cfg.fourier_anneal_steps, 0.0, 1.0
+            )
+            if cfg.fourier_anneal_steps > 0
+            else jnp.ones((), jnp.float32)
         )
         field_window = fourier_window(cfg.field.fourier, progress)
         prop_windows = [

@@ -95,13 +95,17 @@ class VanillaNerfConfig:
         )
 
 
+def _density_head_cfg(cfg: VanillaNerfConfig) -> MLPConfig:
+    """Single source of truth for the density head architecture — init and
+    apply must agree or mlp_apply indexes weights against the wrong config."""
+    return MLPConfig(cfg.mlp_layer_width, 1, cfg.mlp_layer_width, 1)
+
+
 def _init_one_field(key: jax.Array, cfg: VanillaNerfConfig) -> dict:
     k1, k2, k3 = jax.random.split(key, 3)
     return {
         "base": mlp_init(k1, cfg.base_mlp),
-        "density_head": mlp_init(
-            k2, MLPConfig(cfg.mlp_layer_width, 1, cfg.mlp_layer_width, 1)
-        ),
+        "density_head": mlp_init(k2, _density_head_cfg(cfg)),
         "rgb_head": mlp_init(k3, cfg.head_mlp),
     }
 
@@ -142,9 +146,7 @@ def _field_eval(
     # a seed coin-flip — the fine field's head initialized all-negative on
     # the vkitti demo and the whole fine pass rendered background forever
     density = jax.nn.softplus(
-        mlp_apply(
-            field["density_head"], h, MLPConfig(cfg.mlp_layer_width, 1, cfg.mlp_layer_width, 1)
-        )[..., 0]
+        mlp_apply(field["density_head"], h, _density_head_cfg(cfg))[..., 0]
     )
     d_enc = positional_encoding(directions, cfg.dir_frequencies)
     d_enc = jnp.broadcast_to(d_enc[:, None, :], h.shape[:-1] + (d_enc.shape[-1],))

@@ -57,7 +57,15 @@ def sample_ray_batch(
     lib = _load()
     n, h, w, _ = images.shape
     if lib:
-        assert images.flags.c_contiguous
+        assert images.flags.c_contiguous and images.dtype == np.uint8
+        # the C ABI reads raw row-major buffers: coerce dtype/contiguity
+        # here or the kernel silently reads garbage (e.g. float64 depths)
+        if depths is not None:
+            depths = np.ascontiguousarray(depths, dtype=np.float32)
+            assert depths.shape == (n, h, w)
+        if masks is not None:
+            masks = np.ascontiguousarray((np.asarray(masks) != 0), dtype=np.uint8)
+            assert masks.shape == (n, h, w)
         ray_indices = np.empty((batch, 3), np.int32)
         rgb = np.empty((batch, 3), np.float32)
         depth = np.empty((batch,), np.float32)
@@ -67,17 +75,33 @@ def sample_ray_batch(
             n, h, w, batch, ctypes.c_uint64(seed),
             _ptr(ray_indices), _ptr(rgb), _ptr(depth), _ptr(mask),
         )
-    else:  # NumPy fallback
+    else:  # NumPy fallback — same SEMANTICS as the native kernel
         rng = np.random.default_rng(seed)
         cam = rng.integers(0, n, batch)
         row = rng.integers(0, h, batch)
         col = rng.integers(0, w, batch)
+        if masks is not None:
+            # rejection-resample masked-out pixels (native: up to 64 tries,
+            # then accept with mask 0) and binarize the returned mask —
+            # without this, environments without the .so trained on a
+            # different pixel distribution and raw 0/255 mask values
+            mb = np.asarray(masks) != 0
+            bad = ~mb[cam, row, col]
+            for _ in range(64):
+                k = int(bad.sum())
+                if k == 0:
+                    break
+                cam[bad] = rng.integers(0, n, k)
+                row[bad] = rng.integers(0, h, k)
+                col[bad] = rng.integers(0, w, k)
+                bad = ~mb[cam, row, col]
+            mask = mb[cam, row, col].astype(np.float32)
+        else:
+            mask = np.ones(batch, np.float32)
         ray_indices = np.stack([cam, row, col], -1).astype(np.int32)
         rgb = images[cam, row, col].astype(np.float32) / 255.0
-        depth = (depths[cam, row, col] if depths is not None
+        depth = (depths[cam, row, col].astype(np.float32) if depths is not None
                  else np.zeros(batch, np.float32))
-        mask = (masks[cam, row, col].astype(np.float32) if masks is not None
-                else np.ones(batch, np.float32))
     out = {"ray_indices": ray_indices, "image": rgb}
     if depths is not None:
         out["depth_image"] = depth[:, None]

@@ -306,6 +306,14 @@ def hash_encoding_apply(
 
     batch_shape = positions.shape[:-1]
     p = positions.reshape(-1, 3).astype(jnp.float32)
+    # clamp into the box: out-of-[0,1] points (normalize_aabb with the
+    # (0.001, 1000) collider puts most ray samples far outside the +-1 box)
+    # would otherwise drive dense-level flat indices past the level's table
+    # region — jnp.take's mode='clip' then reads AND backprops into the last
+    # slots of the final level, corrupting it. Clamped points read edge
+    # cells; callers wanting nerfstudio's zero-density-outside semantics
+    # multiply a selector on density (fields.nerfacto_field_apply does).
+    p = jnp.clip(p, 0.0, 1.0)
     B = p.shape[0]
 
     res = jnp.asarray(k.res)
@@ -389,6 +397,11 @@ class FourierEncodingConfig:
 def fourier_encoding_init(key: jax.Array, config: FourierEncodingConfig) -> jnp.ndarray:
     """Frequency matrix B (3, output_dim/2): per level, random unit directions
     scaled by the level resolution (cycles across the unit cube)."""
+    if config.features_per_level % 2:
+        raise ValueError(
+            f"fourier features_per_level must be even (quadrature pairs), got "
+            f"{config.features_per_level}"
+        )
     half = config.features_per_level // 2
     dirs = jax.random.normal(key, (3, config.num_levels * half))
     dirs = dirs / jnp.linalg.norm(dirs, axis=0, keepdims=True)

@@ -73,10 +73,13 @@ def render_median_depth(weights: jnp.ndarray, ray_samples) -> jnp.ndarray:
     'median' — the reference's headline depth output, nerfacto.py:339)."""
     steps = ray_samples.midpoints
     cum = jnp.cumsum(weights, axis=-1)
-    S = weights.shape[-1]
-    idx = jnp.sum((cum < 0.5).astype(jnp.int32), axis=-1, keepdims=True)
-    idx = jnp.clip(idx, 0, S - 1)
-    return jnp.take_along_axis(steps, idx, axis=-1)
+    # masked-min over the monotone steps instead of take_along_axis (per-row
+    # gathers run at scalar rate on TPU, CLAUDE.md): the first index with
+    # cum >= 0.5 holds the smallest step value in that set; rays that never
+    # cross fall back to the last step (the old idx-clip behavior).
+    return jnp.min(
+        jnp.where(cum >= 0.5, steps, steps[..., -1:]), axis=-1, keepdims=True
+    )
 
 
 def render_semantics(
