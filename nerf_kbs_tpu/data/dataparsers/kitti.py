@@ -81,6 +81,10 @@ def _parse_kitti(cfg: KittiDataParserConfig, split: str) -> DataparserOutputs:
 
     all_poses = P.read_kitti_poses(str(data_dir / f"{cfg.sequence}.txt"))
     frames = list(range(cfg.first_frame, cfg.last_frame))
+    if not frames:
+        raise ValueError(
+            f"empty frame window [{cfg.first_frame}, {cfg.last_frame})"
+        )
     if max(frames) >= len(all_poses):
         raise ValueError(
             f"frame window [{cfg.first_frame}, {cfg.last_frame}) exceeds pose "

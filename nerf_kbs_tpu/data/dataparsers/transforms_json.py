@@ -129,10 +129,21 @@ def _parse(cfg: TransformsJsonConfig, split: str) -> DataparserOutputs:
         d = 1  # downscale folder absent; fall back to full res
 
     idx = indices
+    # per-frame sizes when the format carries them (frame 0's size is only
+    # the fallback): a heterogeneous-size capture otherwise got frame 0's
+    # pixel grid and principal-point default for every camera
+    hs = np.array([int(intr[i]["h"]) if intr[i]["h"] else h0 for i in idx])
+    ws = np.array([int(intr[i]["w"]) if intr[i]["w"] else w0 for i in idx])
     fxs = np.array([intr[i]["fl_x"] for i in idx]) / d
     fys = np.array([intr[i]["fl_y"] for i in idx]) / d
-    cxs = np.array([intr[i]["cx"] if intr[i]["cx"] is not None else w0 / 2 for i in idx]) / d
-    cys = np.array([intr[i]["cy"] if intr[i]["cy"] is not None else h0 / 2 for i in idx]) / d
+    cxs = np.array(
+        [intr[i]["cx"] if intr[i]["cx"] is not None else w / 2
+         for i, w in zip(idx, ws)]
+    ) / d
+    cys = np.array(
+        [intr[i]["cy"] if intr[i]["cy"] is not None else h / 2
+         for i, h in zip(idx, hs)]
+    ) / d
     dist = np.array(
         [[intr[i][k] or 0.0 for k in _DISTORTION_KEYS] for i in idx], np.float32
     )
@@ -143,25 +154,49 @@ def _parse(cfg: TransformsJsonConfig, split: str) -> DataparserOutputs:
         "cx": cxs.astype(np.float32),
         "cy": cys.astype(np.float32),
         "c2w": poses[idx, :3, :4].astype(np.float32),
-        "width": np.full(len(idx), w0 // d, np.int32),
-        "height": np.full(len(idx), h0 // d, np.int32),
+        "width": (ws // d).astype(np.int32),
+        "height": (hs // d).astype(np.int32),
     }
     if np.abs(dist).sum() > 0:
         cameras_np["distortion"] = dist
 
-    has_depth = all(depth_rel[i] is not None for i in idx) and len(idx) > 0
-    has_mask = all(mask_rel[i] is not None for i in idx) and len(idx) > 0
+    def _aux_paths(rels: list, kind: str):
+        """Depth/mask paths, routed through the downscale folders like the
+        images (reference _get_fname: depths_{d}/, masks_{d}/). Full-res
+        aux data with downscaled cameras would be silently misaligned, so
+        a missing downscaled file is a hard error. All-or-none per split
+        (reference new_dataparser.py:180-184)."""
+        present = [rels[i] is not None for i in idx]
+        if not any(present) or not len(idx):
+            return None
+        if not all(present):
+            raise ValueError(
+                f"{kind} specified for {sum(present)}/{len(idx)} frames of "
+                f"the {split} split — must be every frame or none"
+            )
+        paths = [_downscaled_path(data_dir, rels[i], d) for i in idx]
+        if d > 1 and not paths[0].exists():
+            raise ValueError(
+                f"downscale {d} active but {paths[0]} is missing — generate "
+                f"the downscaled {kind} folder or set downscale_factor=1"
+            )
+        return [str(p) for p in paths]
+
+    # applied_transform/applied_scale were applied to the poses UPSTREAM
+    # (colmap_to_json): compose them into the returned transform/scale so
+    # model->original-world mapping is complete (nerfstudio semantics)
+    T2 = np.concatenate([transform, [[0, 0, 0, 1.0]]], 0)
+    T1 = np.concatenate([applied_transform, [[0, 0, 0, 1.0]]], 0)
+    full_transform = (T2 @ T1)[:3]
     return DataparserOutputs(
         image_filenames=[str(_downscaled_path(data_dir, image_rel[i], d)) for i in idx],
         cameras_np=cameras_np,
         scene_box=np.array([[-1.0] * 3, [1.0] * 3]),
-        depth_filenames=(
-            [str(data_dir / depth_rel[i]) for i in idx] if has_depth else None
-        ),
-        mask_filenames=[str(data_dir / mask_rel[i]) for i in idx] if has_mask else None,
+        depth_filenames=_aux_paths(depth_rel, "depth_file_path"),
+        mask_filenames=_aux_paths(mask_rel, "mask_path"),
         depth_unit_scale_factor=cfg.depth_unit_scale_factor,
-        dataparser_transform=transform,
-        dataparser_scale=scale,
+        dataparser_transform=full_transform,
+        dataparser_scale=scale * applied_scale,
         metadata={"applied_transform": applied_transform.tolist(),
                   "applied_scale": applied_scale, "downscale_factor": d},
     )

@@ -218,12 +218,13 @@ def trace(origins: np.ndarray, dirs: np.ndarray, boxes: list[Box],
     return rgb, depth, sem
 
 
-def render_frame(pose: np.ndarray, boxes: list[Box], h: int, w: int,
-                 fx: float = FX, fy: float = FY,
-                 cx: float | None = None, cy: float | None = None):
-    """Render one frame. pose (3, 4) cam0->world. Returns (rgb, depth, sem)."""
-    cx = CX * w / 1242.0 if cx is None else cx
-    cy = CY * h / 375.0 if cy is None else cy
+def _pixel_rays(pose: np.ndarray, h: int, w: int, fx: float, fy: float,
+                cx: float, cy: float):
+    """Full-image pixel-grid rays for a (3, 4) cam0->world pose: returns
+    (origins (HW, 3), unit world dirs (HW, 3), |d_cam| norms (HW, 1),
+    pixel xs (HW,), pixel ys (HW,)). The single source of the unprojection
+    convention — render_frame/render_flow and the dynamic variants all use
+    it, so a convention change cannot desynchronize flow from rgb/depth."""
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
     d_cam = np.stack(
         [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1
@@ -231,7 +232,28 @@ def render_frame(pose: np.ndarray, boxes: list[Box], h: int, w: int,
     d_world = d_cam @ pose[:3, :3].T
     norm = np.linalg.norm(d_world, axis=1, keepdims=True)
     o = np.broadcast_to(pose[:3, 3], d_world.shape)
-    rgb, t_ray, sem = trace(o, d_world / norm, boxes)
+    return o, d_world / norm, norm, xs.reshape(-1), ys.reshape(-1)
+
+
+def _project_into(pose_b: np.ndarray, pts: np.ndarray, fx: float, fy: float,
+                  cx: float, cy: float):
+    """Project world points into a (3, 4) cam0->world frame b (x right,
+    y down, z forward): returns (u (N,), v (N,), z (N,))."""
+    rel = pts - pose_b[:3, 3]
+    cam_b = rel @ pose_b[:3, :3]  # == R_b^T @ rel, rowwise
+    z = cam_b[:, 2]
+    zs = np.where(np.abs(z) < 1e-6, 1e-6, z)
+    return fx * cam_b[:, 0] / zs + cx, fy * cam_b[:, 1] / zs + cy, z
+
+
+def render_frame(pose: np.ndarray, boxes: list[Box], h: int, w: int,
+                 fx: float = FX, fy: float = FY,
+                 cx: float | None = None, cy: float | None = None):
+    """Render one frame. pose (3, 4) cam0->world. Returns (rgb, depth, sem)."""
+    cx = CX * w / 1242.0 if cx is None else cx
+    cy = CY * h / 375.0 if cy is None else cy
+    o, dirs, norm, _, _ = _pixel_rays(pose, h, w, fx, fy, cx, cy)
+    rgb, t_ray, sem = trace(o, dirs, boxes)
     # d_cam has z-component 1, so camera z-depth = t_along_unit_dir / |d_cam|
     zdepth = t_ray / norm[:, 0]
     return (
@@ -249,25 +271,13 @@ def render_flow(pose_a: np.ndarray, pose_b: np.ndarray, boxes: list[Box],
     reprojection lands in front of camera b). Sky pixels are invalid (their
     flow is rotation-only / infinite-depth; rendered depth there is
     undefined, so supervising them would fight the model)."""
-    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
-    d_cam = np.stack(
-        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1
-    ).reshape(-1, 3)
-    d_world = d_cam @ pose_a[:3, :3].T
-    norm = np.linalg.norm(d_world, axis=1, keepdims=True)
-    o = np.broadcast_to(pose_a[:3, 3], d_world.shape)
-    _, t_ray, sem = trace(o, d_world / norm, boxes)
+    o, dirs, norm, xs_f, ys_f = _pixel_rays(pose_a, h, w, fx, fy, cx, cy)
+    _, t_ray, sem = trace(o, dirs, boxes)
     hit = sem != SEMANTIC_CLASSES.index("sky")
-    pts = o + (d_world / norm) * t_ray[:, None]
-    # project into frame b (cam0 convention: x right, y down, z forward)
-    rel = pts - pose_b[:3, 3]
-    cam_b = rel @ pose_b[:3, :3]  # == R_b^T @ rel, rowwise
-    z = cam_b[:, 2]
+    pts = o + dirs * t_ray[:, None]
+    u1, v1, z = _project_into(pose_b, pts, fx, fy, cx, cy)
     valid = hit & (z > 0.1)
-    z = np.where(np.abs(z) < 1e-6, 1e-6, z)
-    u1 = fx * cam_b[:, 0] / z + cx
-    v1 = fy * cam_b[:, 1] / z + cy
-    flow = np.stack([u1 - (xs.reshape(-1) + 0.0), v1 - (ys.reshape(-1) + 0.0)], -1)
+    flow = np.stack([u1 - xs_f, v1 - ys_f], -1)
     flow = np.where(valid[:, None], flow, 0.0)
     return (
         flow.reshape(h, w, 2).astype(np.float32),
@@ -396,14 +406,8 @@ def render_dynamic_frame(pose, static, movers, frame, h, w, fx, fy, cx, cy,
     (0 = background, 1..n_movers = the moving objects) — free ground-truth
     labels for training the instance segmenter."""
     boxes = boxes_at(static, movers, frame)
-    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
-    d_cam = np.stack(
-        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1
-    ).reshape(-1, 3)
-    d_world = d_cam @ pose[:3, :3].T
-    norm = np.linalg.norm(d_world, axis=1, keepdims=True)
-    o = np.broadcast_to(pose[:3, 3], d_world.shape)
-    rgb, t_ray, sem, ids = trace(o, d_world / norm, boxes, return_ids=True)
+    o, dirs, norm, _, _ = _pixel_rays(pose, h, w, fx, fy, cx, cy)
+    rgb, t_ray, sem, ids = trace(o, dirs, boxes, return_ids=True)
     dyn = (ids >= 0) & (ids < len(movers))
     out = (
         rgb.reshape(h, w, 3),
@@ -423,30 +427,19 @@ def render_dynamic_flow(pose_a, pose_b, static, movers, frame_a, frame_b,
     mover travel with it between frames before reprojection. Returns
     (flow (H, W, 2), valid (H, W) bool, dyn_mask (H, W) bool)."""
     boxes = boxes_at(static, movers, frame_a)
-    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
-    d_cam = np.stack(
-        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], axis=-1
-    ).reshape(-1, 3)
-    d_world = d_cam @ pose_a[:3, :3].T
-    norm = np.linalg.norm(d_world, axis=1, keepdims=True)
-    o = np.broadcast_to(pose_a[:3, 3], d_world.shape)
-    _, t_ray, sem, ids = trace(o, d_world / norm, boxes, return_ids=True)
+    o, dirs, norm, xs_f, ys_f = _pixel_rays(pose_a, h, w, fx, fy, cx, cy)
+    _, t_ray, sem, ids = trace(o, dirs, boxes, return_ids=True)
     hit = sem != SEMANTIC_CLASSES.index("sky")
-    pts = o + (d_world / norm) * t_ray[:, None]
+    pts = o + dirs * t_ray[:, None]
     # points on movers travel with their object
     dt = frame_b - frame_a
     for mi, m in enumerate(movers):
         on = ids == mi
         if on.any():
             pts[on] += m.velocity * dt
-    rel = pts - pose_b[:3, 3]
-    cam_b = rel @ pose_b[:3, :3]
-    z = cam_b[:, 2]
+    u1, v1, z = _project_into(pose_b, pts, fx, fy, cx, cy)
     valid = hit & (z > 0.1)
-    z = np.where(np.abs(z) < 1e-6, 1e-6, z)
-    u1 = fx * cam_b[:, 0] / z + cx
-    v1 = fy * cam_b[:, 1] / z + cy
-    flow = np.stack([u1 - xs.reshape(-1), v1 - ys.reshape(-1)], -1)
+    flow = np.stack([u1 - xs_f, v1 - ys_f], -1)
     flow = np.where(valid[:, None], flow, 0.0)
     dyn = (ids >= 0) & (ids < len(movers))
     return (

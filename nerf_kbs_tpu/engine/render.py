@@ -26,10 +26,23 @@ def _slerp_rotations(Ra: np.ndarray, Rb: np.ndarray, t: float) -> np.ndarray:
     theta = np.arccos(cos)
     if theta < 1e-8:
         return Ra
-    w = (
-        np.array([M[2, 1] - M[1, 2], M[0, 2] - M[2, 0], M[1, 0] - M[0, 1]])
-        / (2 * np.sin(theta))
-    )
+    if theta > np.pi - 1e-3:
+        # near-pi rotations: the off-diagonal differences vanish, so take the
+        # axis from the diagonal of M = 2*aa^T - I + cos-terms instead of
+        # dividing ~0/~0
+        axis_sq = np.clip((np.diag(M) + 1.0) / 2.0, 0.0, None)
+        w = np.sqrt(axis_sq)
+        # fix signs from the off-diagonal sums (a_i a_j = M[i,j]/2 near pi)
+        i = int(np.argmax(w))
+        for j in range(3):
+            if j != i and (M[i, j] + M[j, i]) < 0:
+                w[j] = -w[j]
+        w = w / max(np.linalg.norm(w), 1e-12)
+    else:
+        w = (
+            np.array([M[2, 1] - M[1, 2], M[0, 2] - M[2, 0], M[1, 0] - M[0, 1]])
+            / (2 * np.sin(theta))
+        )
     K = P._skew(w)
     Rt = np.eye(3) + np.sin(t * theta) * K + (1 - np.cos(t * theta)) * (K @ K)
     return Ra @ Rt
@@ -112,6 +125,11 @@ def apply_camera_overrides(
         width=cut(cams.width),
         height=cut(cams.height),
         times=cut(cams.times),
+        # every per-camera field must be sliced together or the returned
+        # Cameras pairs camera k with camera (k + lo)'s distortion/ids
+        distortion=cut(cams.distortion),
+        video_ids=cut(cams.video_ids),
+        camera_type=cut(cams.camera_type),
     )
 
 

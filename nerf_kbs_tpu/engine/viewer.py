@@ -171,6 +171,8 @@ class ViewerServer:
         # loopback by default: /render and /orbit occupy the device on
         # demand and serve checkpoint contents — opt into exposure via host=
         self._server = ThreadingHTTPServer((host, port), Handler)
+        # port=0 binds an OS-assigned ephemeral port; report the real one
+        self.port = self._server.server_address[1]
 
     # ------------------------------------------------------------- handlers
     def status(self) -> dict:
