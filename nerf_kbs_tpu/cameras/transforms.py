@@ -11,8 +11,10 @@ import jax.numpy as jnp
 
 
 def euler2mat(angle: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3) euler angles (rx, ry, rz) -> (..., 3, 3) rotation, R = Rz Ry Rx
-    (capability of reference inverse_warp.py:83-118)."""
+    """(..., 3) euler angles (rx, ry, rz) -> (..., 3, 3) rotation, R = Rx Ry Rz
+    — the REFERENCE composition order (inverse_warp.py:119: xmat @ ymat @
+    zmat); a different order decodes reference-convention pose vectors into
+    the wrong rotation for non-commuting angles."""
     x, y, z = angle[..., 0], angle[..., 1], angle[..., 2]
     cx, sx = jnp.cos(x), jnp.sin(x)
     cy, sy = jnp.cos(y), jnp.sin(y)
@@ -28,7 +30,7 @@ def euler2mat(angle: jnp.ndarray) -> jnp.ndarray:
     Rz = jnp.stack(
         [cz, -sz, o, sz, cz, o, o, o, i], axis=-1
     ).reshape(angle.shape[:-1] + (3, 3))
-    return Rz @ Ry @ Rx
+    return Rx @ Ry @ Rz
 
 
 def quat2mat(quat: jnp.ndarray) -> jnp.ndarray:
@@ -51,10 +53,20 @@ def pose_vec2mat(vec: jnp.ndarray, rotation_mode: str = "euler") -> jnp.ndarray:
     (reference inverse_warp.py:144-163).
     """
     t = vec[..., :3, None]
+    rot = vec[..., 3:]
     if rotation_mode == "euler":
-        R = euler2mat(vec[..., 3:6])
+        if rot.shape[-1] != 3:
+            raise ValueError(f"euler mode needs 3 rotation coeffs, got {rot.shape}")
+        R = euler2mat(rot)
     elif rotation_mode == "quat":
-        R = quat2mat(vec[..., 3:7])
+        # reference semantics (inverse_warp.py:123-131): a 6-DoF vector
+        # carries THREE quaternion coefficients, w is implied as 1 before
+        # normalization; a full (w, x, y, z) quaternion is also accepted
+        if rot.shape[-1] == 3:
+            rot = jnp.concatenate([jnp.ones_like(rot[..., :1]), rot], axis=-1)
+        elif rot.shape[-1] != 4:
+            raise ValueError(f"quat mode needs 3 or 4 rotation coeffs, got {rot.shape}")
+        R = quat2mat(rot)
     else:
         raise ValueError(f"unknown rotation_mode {rotation_mode!r}")
     return jnp.concatenate([R, t], axis=-1)

@@ -68,7 +68,27 @@ def _load_items(cfg: SudsMetadataConfig, split: str):
     items = [_item_from_frame(fr, psf, cfg.local_cache) for fr in meta["frames"]]
     if split == "train":
         if not cfg.train_with_val_images:
-            items = [it for it in items if not it.is_val]
+            # metadata.json neighbor indices point into the FULL frame list;
+            # remap them onto the val-filtered list (or null them when the
+            # neighbor itself is dropped) — raw indices would resolve to the
+            # wrong frame after every dropped val frame, silently corrupting
+            # the flow supervision's neighbor pose/intrinsics
+            keep = [i for i, it in enumerate(items) if not it.is_val]
+            remap = {old: new for new, old in enumerate(keep)}
+
+            def _remap(idx):
+                return remap.get(idx) if idx is not None else None
+
+            items = [items[i] for i in keep]
+            for it in items:
+                b = _remap(it.backward_neighbor_index)
+                f = _remap(it.forward_neighbor_index)
+                it.backward_neighbor_index = b
+                it.forward_neighbor_index = f
+                if b is None:
+                    it.backward_flow_path = None
+                if f is None:
+                    it.forward_flow_path = None
     elif split in ("val", "test", "eval"):
         items = [it for it in items if it.is_val]
     else:

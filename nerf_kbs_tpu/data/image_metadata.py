@@ -118,8 +118,25 @@ class ImageMetadata:
             return None, None
         arr = np.load(self._cached(path)).astype(np.float32)
         if arr.shape[-1] == 3:
-            return arr[..., :2], arr[..., 2] > 0
-        return arr, np.ones(arr.shape[:2], bool)
+            flow, valid = arr[..., :2], arr[..., 2] > 0
+        else:
+            flow, valid = arr, np.ones(arr.shape[:2], bool)
+        if flow.shape[:2] != (self.H, self.W):
+            # flow computed at a working resolution (e.g. the RAFT driver's
+            # 640x192): resize AND rescale the pixel displacements to this
+            # camera's grid — indexing a smaller flow map with native-res
+            # pixel coords would be out of bounds / wrong units
+            import cv2
+
+            sy = self.H / flow.shape[0]
+            sx = self.W / flow.shape[1]
+            flow = cv2.resize(flow, (self.W, self.H), interpolation=cv2.INTER_LINEAR)
+            flow = flow * np.array([sx, sy], np.float32)
+            valid = (
+                cv2.resize(valid.astype(np.uint8), (self.W, self.H),
+                           interpolation=cv2.INTER_NEAREST).astype(bool)
+            )
+        return flow, valid
 
     def load_backward_flow(self):
         return self._load_flow(self.backward_flow_path)

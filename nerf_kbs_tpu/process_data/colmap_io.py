@@ -250,10 +250,11 @@ def colmap_to_json(
     if len(cams) == 0:
         raise ValueError(f"no cameras in {sparse_dir}")
     frames = []
-    # world rotation applied to all poses so +z is up-ish (parity with the
-    # reference's applied_transform, mask_utils.py:80-83: row permute [0,2,1]
-    # with the new z row negated)
-    applied = np.array([[1.0, 0, 0], [0, 0, 1.0], [0, -1.0, 0]])
+    # world rotation applied to all poses (EXACT parity with the reference's
+    # applied_transform, mask_utils.py:80-83: row permute [1, 0, 2] with the
+    # new z row negated) — a different rotation would misalign this
+    # transforms.json against any reference-generated asset
+    applied = np.array([[0, 1.0, 0], [1.0, 0, 0], [0, 0, -1.0]])
     for iid in sorted(imgs):
         im = imgs[iid]
         c2w = colmap_pose_to_c2w(im)

@@ -40,12 +40,18 @@ def get_val_frames(num_frames: int, test_every: Optional[int] = None,
     return (set(range(num_frames)) - train) if train_every > 1 else train
 
 
-def get_neighbor(image_index: int, val_frames: Set[int], direction: int) -> int:
+def get_neighbor(
+    image_index: int, val_frames: Set[int], direction: int,
+    interleaved: bool = True,
+) -> int:
     """Nearest temporal neighbor skipping val frames (reference
-    metadata_utils.py:151-155; indices are interleaved stereo so // 2 maps to
-    frame id)."""
+    metadata_utils.py:151-155). ``interleaved`` = the reference's
+    two-cameras-interleaved item list, where // 2 maps item index to frame
+    id; a MONO list (build_kitti_metadata) must test the index directly —
+    with // 2 it both leaks val frames into neighbors and skips valid ones."""
     diff = direction
-    while (image_index + diff) // 2 in val_frames:
+    frame = (lambda i: i // 2) if interleaved else (lambda i: i)
+    while frame(image_index + diff) in val_frames:
         diff += direction
     return image_index + diff
 
@@ -214,20 +220,42 @@ def build_kitti_metadata(cfg: KittiMetadataConfig) -> list[ImageMetadata]:
                 backward_flow_path=str(motion / "flow_bwd" / f"{stem}.npy"),
                 forward_flow_path=str(motion / "flow_fwd" / f"{stem}.npy"),
                 backward_neighbor_index=(
-                    get_neighbor(idx, val_frames, -1) if idx > 0 else 0
+                    get_neighbor(idx, val_frames, -1, interleaved=False)
+                    if idx > 0 else 0
                 ),
                 forward_neighbor_index=(
-                    get_neighbor(idx, val_frames, 1) if idx < n - 1 else idx
+                    get_neighbor(idx, val_frames, 1, interleaved=False)
+                    if idx < n - 1 else idx
                 ),
                 is_val=is_val,
             )
         )
+
+    # null out-of-range neighbors (reference metadata_z1.py:180-194): a val
+    # frame at the sequence boundary makes the skip walk past the end
+    for it in items:
+        if it.backward_neighbor_index is not None and it.backward_neighbor_index < 0:
+            it.backward_neighbor_index = None
+            it.backward_flow_path = None
+        if it.forward_neighbor_index is not None and it.forward_neighbor_index >= n:
+            it.forward_neighbor_index = None
+            it.forward_flow_path = None
 
     # bounds from depth when available, else from camera origins
     mn = mx = None
     for it in items:
         if it.depth_path and Path(it.depth_path).exists():
             depth = np.load(it.depth_path)
+            if depth.shape != (it.H, it.W):
+                # pipeline depth is often at a working resolution (e.g.
+                # 640x192); unprojecting it against native-res intrinsics
+                # would skew every point sideways (cx centered for W, not
+                # the depth width)
+                import cv2
+
+                depth = cv2.resize(
+                    depth, (it.W, it.H), interpolation=cv2.INTER_NEAREST
+                )
             mn, mx = get_bounds_from_depth(it, depth, mn, mx)
     if mn is None:
         origins = np.stack([it.c2w[:3, 3] for it in items])

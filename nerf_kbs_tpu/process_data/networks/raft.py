@@ -211,10 +211,15 @@ class RAFT:
         return {"fnet": fv, "cnet": cv, "update": uv}
 
     def compute_flow(self, variables: dict, img1: jnp.ndarray, img2: jnp.ndarray,
-                     iters: int | None = None) -> jnp.ndarray:
+                     iters: int | None = None,
+                     all_iters: bool = False) -> jnp.ndarray:
         """img1, img2: (B, H, W, 3) in [0, 1], H and W multiples of 8
         (the reference pads with InputPadder, motion_mask.py:410-413 — use
-        process_data.motion_mask_driver.pad_to_multiple)."""
+        process_data.motion_mask_driver.pad_to_multiple).
+
+        all_iters=True returns the upsampled flow of EVERY refinement
+        iteration, (T, B, H, W, 2) — the prediction stack the reference's
+        gamma-weighted sequence loss supervises (RAFT/train.py:47-72)."""
         cfg = self.cfg
         iters = iters or cfg.iters
         x1 = 2.0 * img1 - 1.0
@@ -242,6 +247,9 @@ class RAFT:
         (net, coords), (all_coords, masks) = jax.lax.scan(
             body, (net, coords0), None, length=iters
         )
+        if all_iters:
+            flows8 = (all_coords - coords0[None])[..., ::-1]  # (T, B, h8, w8, 2)
+            return jax.vmap(convex_upsample)(flows8, masks)
         flow8 = (coords - coords0)[..., ::-1]  # (B, h8, w8, 2) as (dx, dy)
         return convex_upsample(flow8, masks[-1])
 

@@ -137,14 +137,30 @@ def make_raft_train_step(raft, tx, cfg: RaftTrainConfig, mesh=None):
     from nerf_kbs_tpu.process_data.networks.raft import sequence_loss
 
     def loss_fn(variables, batch):
-        # scan returns per-iteration coords; recompute preds pyramid cheaply:
-        # use final flow only + gamma-weighted is approximated by supervising
-        # the final prediction (full per-iteration supervision needs the
-        # scan's stacked outputs — compute them here).
-        flow = raft.compute_flow(variables, batch["img1"], batch["img2"], iters=cfg.iters)
-        return sequence_loss(flow[None], batch["flow"], batch["valid"], cfg.gamma)
+        # every refinement iteration's upsampled flow, gamma-weighted —
+        # the reference sequence loss (RAFT/train.py:47-72); RAFT training
+        # is known to depend on this intermediate supervision
+        flows = raft.compute_flow(
+            variables, batch["img1"], batch["img2"], iters=cfg.iters,
+            all_iters=True,
+        )
+        return sequence_loss(flows, batch["flow"], batch["valid"], cfg.gamma)
 
     def step(variables, opt_state, batch):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from nerf_kbs_tpu.parallel.mesh import DATA_AXIS
+
+            batch = jax.tree.map(
+                lambda a: jax.lax.with_sharding_constraint(
+                    a,
+                    NamedSharding(
+                        mesh, PartitionSpec(DATA_AXIS, *([None] * (a.ndim - 1)))
+                    ),
+                ),
+                batch,
+            )
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             variables, batch
         )
