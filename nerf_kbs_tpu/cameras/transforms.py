@@ -54,7 +54,14 @@ def pose_vec2mat(vec: jnp.ndarray, rotation_mode: str = "euler") -> jnp.ndarray:
     """
     t = vec[..., :3, None]
     rot = vec[..., 3:]
-    if rotation_mode == "euler":
+    if rotation_mode == "axisangle":
+        # monodepth2 pose-net semantics (transformation_from_parameters /
+        # rot_from_axisangle — what the reference motion pipeline uses,
+        # motion_mask.py:391): Rodrigues of the 3-vector
+        if rot.shape[-1] != 3:
+            raise ValueError(f"axisangle mode needs 3 coeffs, got {rot.shape}")
+        R = exp_map_so3(rot)
+    elif rotation_mode == "euler":
         if rot.shape[-1] != 3:
             raise ValueError(f"euler mode needs 3 rotation coeffs, got {rot.shape}")
         R = euler2mat(rot)

@@ -85,7 +85,13 @@ class InMemoryDataManager:
             depths = (
                 list(
                     ex.map(
-                        lambda p: _load_depth(p, out.depth_unit_scale_factor),
+                        # depth must land in the SAME auto-scaled scene units
+                        # as the poses (nerfstudio: dataparser_scale *
+                        # depth_unit_scale_factor) or euclidean depth loss
+                        # compares metric meters against a [-1,1] scene
+                        lambda p: _load_depth(
+                            p, out.depth_unit_scale_factor * out.dataparser_scale
+                        ),
                         out.depth_filenames,
                     )
                 )

@@ -3,9 +3,11 @@
 The reference configures one optimizer+scheduler per named param group
 (train.py:85-98: Adam lr=1e-3 eps=1e-15 for 'proposal_networks' and 'fields';
 train_nerfacto.py:53-60 adds ExponentialDecay lr_final=1e-5 max_steps=2e6;
-train_nerf.py:41-50: RAdam per group). TPU-native equivalent: a single optax
-``multi_transform`` keyed by which top-level group a leaf belongs to, so the
-whole update stays inside the one compiled train step.
+train_nerf.py:41-50: RAdam per group). TPU-native equivalent: per-group optax
+chains applied by partitioning the TOP-LEVEL param dict (build_optimizer) —
+NOT optax.multi_transform, which was measured at ~14 ms/step of tiny-op flood
+on this chip (CLAUDE.md) — so the whole update stays inside the one compiled
+train step.
 """
 
 from __future__ import annotations

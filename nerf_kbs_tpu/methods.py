@@ -173,7 +173,6 @@ def nerfacto_tpu_method() -> MethodSpec:
         field_type="fourier",
         hidden_dim=128,
         num_layers=3,
-        num_images=spec.model.num_images,
         # frequency scales: random Fourier features memorize beyond the
         # sampling density — cap max_res well below the hash default and ramp
         # coarse-to-fine (fourier max_res 2048 collapses eval). Equal-protocol

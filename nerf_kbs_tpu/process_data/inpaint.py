@@ -98,6 +98,13 @@ def inpaint_video(
     from nerf_kbs_tpu.process_data.networks.inpaint_net import InpaintGenerator
 
     t = frames.shape[0]
+    # the generator's encoder/decoder reshapes need H, W divisible by 4
+    # (like RAFT's 8 and monodepth2's 32): edge-pad and crop the output back
+    h0, w0 = frames.shape[1:3]
+    ph, pw = (-h0) % 4, (-w0) % 4
+    if ph or pw:
+        frames = np.pad(frames, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        masks = np.pad(masks, ((0, 0), (0, ph), (0, pw)), mode="edge")
     if generator is None:
         generator = InpaintGenerator()
     if variables is None:
@@ -133,7 +140,7 @@ def inpaint_video(
             else:
                 out[fi] = comp
                 visited[fi] = True
-    return np.clip(out, 0.0, 1.0)
+    return np.clip(out[:, :h0, :w0], 0.0, 1.0)
 
 
 def run(cfg: InpaintDriverConfig, variables=None) -> list[str]:

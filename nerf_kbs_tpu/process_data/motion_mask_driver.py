@@ -190,8 +190,11 @@ def run(cfg: MotionMaskConfig, max_frames: Optional[int] = None) -> dict:
     flow_fn = jax.jit(lambda a, b: raft.compute_flow(raft_vars, a, b))
 
     def rigid_prob_hard(depth, pose_vec, optical):
+        # axisangle: the monodepth2 pose net's rotation semantics
+        # (transformation_from_parameters, reference motion_mask.py:391)
         rigid = W.pose2flow(
-            depth[None], pose_vec[None], jnp.asarray(K)[None], jnp.asarray(K_inv)[None]
+            depth[None], pose_vec[None], jnp.asarray(K)[None], jnp.asarray(K_inv)[None],
+            rotation_mode="axisangle",
         )[0]
         prob = MM.moving_probability(optical, rigid)
         return rigid, prob, MM.hard_motion_mask(prob, cfg.th_r)
@@ -285,7 +288,11 @@ def run(cfg: MotionMaskConfig, max_frames: Optional[int] = None) -> dict:
     from nerf_kbs_tpu.cameras.transforms import pose_vec2mat
 
     pose_mats = np.asarray(
-        to_homogeneous(np.asarray(pose_vec2mat(jnp.asarray(np.stack(poses)))))
+        to_homogeneous(
+            np.asarray(
+                pose_vec2mat(jnp.asarray(np.stack(poses)), "axisangle")
+            )
+        )
     )
     np.save(out_root / "poses.npy", pose_mats)
     return {

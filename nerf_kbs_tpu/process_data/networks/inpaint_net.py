@@ -151,11 +151,15 @@ class InpaintGenerator(nn.Module):
         feats = prop(feats, cell_f, reverse=False)
         feats = prop(feats, cell_b, reverse=True)
 
-        # pad spatial dims to the attention window
+        # pad spatial dims to the attention window with EDGE replication:
+        # zero tokens would participate unmasked in every boundary window's
+        # softmax, diluting attention for real border pixels
         win = cfg.window
         hp = (-feats.shape[2]) % win
         wp = (-feats.shape[3]) % win
-        fpad = jnp.pad(feats, ((0, 0), (0, 0), (0, hp), (0, wp), (0, 0)))
+        fpad = jnp.pad(
+            feats, ((0, 0), (0, 0), (0, hp), (0, wp), (0, 0)), mode="edge"
+        )
         for i in range(cfg.num_attention_blocks):
             fpad = WindowAttentionBlock(cfg.channels, cfg.num_heads, win,
                                         name=f"block_{i}")(fpad)
