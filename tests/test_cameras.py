@@ -145,6 +145,33 @@ def test_exp_maps():
     np.testing.assert_allclose(np.asarray(M[:, :3]), np.eye(3), atol=1e-5)
 
 
+def test_pose_vec2mat_axisangle_and_reference_conventions(rng):
+    """axisangle mode = Rodrigues (monodepth2 transformation_from_parameters
+    semantics); euler composes Rx@Ry@Rz like the reference inverse_warp;
+    quat mode accepts the reference's 3-coeff implicit-w form."""
+    v = jnp.array([[0.5, -0.2, 0.1, 0.0, 0.0, np.pi / 2]])
+    M = T.pose_vec2mat(v, "axisangle")
+    np.testing.assert_allclose(np.asarray(M[0, :, :3] @ jnp.array([1.0, 0, 0])),
+                               [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(M[0, :, 3]), [0.5, -0.2, 0.1], atol=1e-7)
+    # euler: for rx only, Rx@Ry@Rz == Rx
+    ve = jnp.array([[0.0, 0, 0, np.pi / 2, 0, 0]])
+    Me = T.pose_vec2mat(ve, "euler")
+    np.testing.assert_allclose(np.asarray(Me[0, :, :3] @ jnp.array([0, 1.0, 0])),
+                               [0, 0, 1.0], atol=1e-6)
+    # reference composition order: R(rx, ry) == Rx @ Ry, NOT Rz@Ry@Rx's order
+    va = jnp.array([[0.0, 0, 0, 0.3, 0.2, 0.0]])
+    Ra = np.asarray(T.pose_vec2mat(va, "euler")[0, :, :3])
+    Rx = np.asarray(T.euler2mat(jnp.array([0.3, 0.0, 0.0])))
+    Ry = np.asarray(T.euler2mat(jnp.array([0.0, 0.2, 0.0])))
+    np.testing.assert_allclose(Ra, Rx @ Ry, atol=1e-6)
+    # quat: 3 coeffs with implicit w=1 pre-normalization
+    vq = jnp.array([[0.0, 0, 0, 0.1, -0.2, 0.3]])
+    Mq = T.pose_vec2mat(vq, "quat")
+    R = np.asarray(Mq[0, :, :3])
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
 def test_pose_vec2mat_euler_quat(rng):
     v = jnp.array(rng.normal(size=(4, 6)) * 0.1)
     M = T.pose_vec2mat(v, "euler")

@@ -164,6 +164,13 @@ def test_suds_metadata_parser(tmp_path):
     items = train.metadata["items"]
     assert items[0].forward_neighbor_index == 1
     assert items[0].pose_scale_factor == 2.0
+    # neighbor indices are REMAPPED onto the val-filtered list: frame 3 is
+    # val, so old frames [0,1,2,4,5] -> new [0,1,2,3,4]; neighbors that
+    # pointed AT the val frame are nulled together with their flow path
+    assert items[2].forward_neighbor_index is None  # old 2 -> old 3 (val)
+    assert items[2].forward_flow_path is None
+    assert items[3].backward_neighbor_index is None  # old 4 -> old 3 (val)
+    assert items[3].forward_neighbor_index == 4  # old 4 -> old 5 -> new 4
     img = items[0].load_image()
     assert img.shape == (8, 10, 3)
     assert items[0].load_mask().all()  # no mask path -> all static

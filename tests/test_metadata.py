@@ -105,6 +105,13 @@ def test_val_frames_and_neighbors():
     vf = {2}
     assert M.get_neighbor(2, vf, 1) == 3  # (2+1)//2=1 not val
     assert M.get_neighbor(3, vf, 1) == 6  # 4//2=2 and 5//2=2 are val; 6//2=3 ok
+    # MONO lists (build_kitti_metadata) test the index directly: the stereo
+    # //2 rule would return val frame 10 as frame 9's neighbor and skip the
+    # perfectly valid frame 21
+    vf = {10, 20}
+    assert M.get_neighbor(9, vf, 1, interleaved=False) == 11
+    assert M.get_neighbor(19, vf, 1, interleaved=False) == 21
+    assert M.get_neighbor(11, vf, -1, interleaved=False) == 9
 
 
 def test_scale_bounds_and_timestamps():

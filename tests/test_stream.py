@@ -262,3 +262,28 @@ def test_eval_camera_surface(tmp_path):
         atol=1e-6,
     )
     dm.close()
+
+
+def test_flow_loader_resizes_and_rescales(tmp_path):
+    """Flow stored at a working resolution (RAFT driver 640x192 style) must
+    resize to the camera grid AND rescale its pixel displacements."""
+    import numpy as np
+
+    from nerf_kbs_tpu.data.image_metadata import ImageMetadata
+
+    flow = np.zeros((10, 16, 3), np.float32)
+    flow[..., 0] = 2.0  # dx in small-grid pixels
+    flow[..., 1] = 1.0
+    flow[..., 2] = 1.0  # valid
+    p = tmp_path / "flow.npy"
+    np.save(p, flow)
+    it = ImageMetadata(
+        image_path="x.png", c2w=np.eye(4)[:3].astype(np.float32), W=32, H=20,
+        intrinsics=np.array([10.0, 10, 16, 10], np.float32), image_index=0,
+        time=0.0, video_id=0, forward_flow_path=str(p),
+    )
+    f, v = it.load_forward_flow()
+    assert f.shape == (20, 32, 2) and v.shape == (20, 32)
+    np.testing.assert_allclose(f[..., 0], 2.0 * 32 / 16, atol=1e-5)
+    np.testing.assert_allclose(f[..., 1], 1.0 * 20 / 10, atol=1e-5)
+    assert v.all()
