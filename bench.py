@@ -1,9 +1,12 @@
 """Benchmark: nerfacto train-step throughput at reference scale on real TPU.
 
 Measures rays/sec through the FULL compiled train step (forward + loss +
-backward + per-group optax update) at the reference operating point: 4096
-rays/batch, proposal samples (256, 96) -> 48 nerf samples, KITTI-sized
-cameras (reference train.py:70-71, nerfacto.py:161-174).
+backward + per-group optax update). The HEADLINE JSON line is the flagship
+operating point (methods.nerfacto_tpu_method): 16384 rays/batch, tri-basis
+fourier field, proposal samples (128, 48) -> 48 nerf samples, detached PDF
+resampling, KITTI-sized cameras. The '#'-prefixed hash parity line keeps
+the reference operating point (4096 rays, (256, 96) proposals; reference
+train.py:70-71, nerfacto.py:161-174).
 
 Two operating points:
 - flagship 'nerfacto-tpu': the MXU-native Fourier-MLP field (gather-free;

@@ -126,7 +126,9 @@ def main():
     result = {
         "mean_iou": float(np.mean(ious)),
         "per_frame_iou": [round(v, 4) for v in ious],
-        "median_static_flow_err_px": round(float(np.mean(static_errs)), 4),
+        # per-frame MEDIANS; report both aggregations under honest names
+        "median_static_flow_err_px": round(float(np.median(static_errs)), 4),
+        "mean_of_median_static_flow_err_px": round(float(np.mean(static_errs)), 4),
         "frames": args.frames,
     }
     print(json.dumps(result), flush=True)

@@ -16,27 +16,19 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, iters=10, label=""):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{label:36s} {dt * 1e3:9.2f} ms")
-    return dt
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--field", default="fourier")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--platform", default=None, help="force jax platform (cpu)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     import jax
     import jax.numpy as jnp
 
@@ -54,6 +46,13 @@ def main():
 
     B = args.batch
     dm = SyntheticDataManager(num_cameras=8, h=64, w=64, rays_per_batch=B)
+    # defaults = the FLAGSHIP operating point (methods.nerfacto_tpu_method):
+    # tri basis, (128, 48) proposals, detached resampling — so un-overridden
+    # runs time the same model the headline bench/CLAUDE.md numbers describe
+    flagship = dict(
+        fourier_basis="tri", max_res=64, base_res=4, hidden_dim=128,
+        num_proposal_samples_per_ray=(128, 48), stop_grad_sampling=True,
+    ) if args.field == "fourier" else {}
     cfg = nerfacto.NerfactoConfig(
         num_images=8,
         field_type=args.field,
@@ -61,7 +60,7 @@ def main():
         far_plane=8.0,
         appearance_embedding_dim=0,
         compute_dtype="bfloat16" if jax.default_backend() != "cpu" else "float32",
-        **parse_overrides(args.overrides),
+        **{**flagship, **parse_overrides(args.overrides)},
     )
     params = nerfacto.init(jax.random.PRNGKey(0), cfg)
     batch = dm.next_train(0)
@@ -77,10 +76,14 @@ def main():
             return jax.lax.scan(lambda c, _: (body(c), 0.0), c, None, length=ITERS)[0]
 
         run(init)  # compile
-        r = run(init)
+        r = run(init)  # warm
         jax.block_until_ready(r)
+        # the timed invocation takes the WARM RUN'S OUTPUT as input: an
+        # identical (executable, inputs) pair can be served from the axon
+        # tunnel's execution memoization (CLAUDE.md), which would time only
+        # the RPC round-trip — chaining the carry makes the inputs fresh
         t0 = time.perf_counter()
-        r = run(init)
+        r = run(r)
         jax.block_until_ready(r)
         jax.tree.leaves(r)[0].addressable_data(0)  # force fetchable value
         dt = (time.perf_counter() - t0) / ITERS
@@ -143,7 +146,11 @@ def main():
                         cfg.num_proposal_samples_per_ray[1], "piecewise", key=key)
         return jnp.mean(s.starts)
 
-    scan_time(pdf_body, jnp.float32(0.0), "one pdf_sampler round (256->96)")
+    scan_time(
+        pdf_body, jnp.float32(0.0),
+        f"one pdf_sampler round ({cfg.num_proposal_samples_per_ray[0]}->"
+        f"{cfg.num_proposal_samples_per_ray[1]})",
+    )
 
     # 2d) fused coordinate-major proposal density (what forward actually runs
     # on TPU), sincos vs tri basis

@@ -154,27 +154,27 @@ def main() -> None:
             vals.append(10.0 * np.log10(1.0 / max(mse, 1e-12)))
         return float(np.mean(vals))
 
-    def sample_round(rng):
+    def sample_round():
+        # batch randomness comes from the data manager's internal rng
         bs = [dm.next_train(0) for _ in range(K)]
         return {
             k: jnp.stack([jnp.asarray(b[k]) for b in bs]) for k in bs[0]
         }
 
-    rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
     traj = []
     t_train = 0.0
     rays_done = 0
     step = 0
     # warmup compile
-    wb = sample_round(rng)
+    wb = sample_round()
     wk = jax.random.split(jax.random.fold_in(key, 999), K)
     p_w, o_w, l, _ = multi_step(params, opt_state, wb, wk, jnp.asarray(0.0))
     jax.block_until_ready(l)
     del p_w, o_w
 
     while step < args.steps:
-        batches = sample_round(rng)
+        batches = sample_round()
         keys = jax.random.split(jax.random.fold_in(key, step), K)
         t0 = time.perf_counter()
         params, opt_state, loss, tr_psnr = multi_step(

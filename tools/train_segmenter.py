@@ -131,6 +131,13 @@ def make_samples(seed: int, n_frames: int, h: int, w: int, touching: bool):
         optical = flow.transpose(2, 0, 1)
         rigid = static_reprojection_flow(poses[f], poses[f + 1], zdepth,
                                          fx, fy, cx, cy)
+        # invalid pixels (sky / behind camera) carry GT flow 0 while rigid
+        # flow is nonzero there — the mismatch would drag moving_probability's
+        # min-max normalization; a real RAFT provides flow everywhere, so
+        # fill with rigid flow exactly like the deployment pipeline's demo
+        # (demo_motion_pipeline.py) so the segmenter trains on the
+        # distribution it will see
+        optical = np.where(valid[None], optical, rigid)
         prob = moving_probability_np(optical, rigid)
         x = make_inputs(rgb, prob, optical)
         fg, off, valid_t = make_targets(inst)

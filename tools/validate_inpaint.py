@@ -68,10 +68,16 @@ def main():
     h = w = args.size
 
     def render_clip(seed: int, n_frames: int) -> np.ndarray:
+        from nerf_kbs_tpu.data.synthetic_kitti import FX, FY
+
         boxes = make_scene(seed, n_frames * 0.8 + 90.0)
         poses = make_poses(n_frames, step=0.8)
+        # SCALE the focals to the working size like every other caller
+        # (render_frame only auto-scales cx/cy): unscaled KITTI focals at
+        # 128px give a ~10-degree telephoto FOV, not a street scene
+        fx, fy = FX * w / 1242.0, FY * h / 375.0
         return np.stack(
-            [render_frame(p, boxes, h, w)[0] for p in poses]
+            [render_frame(p, boxes, h, w, fx, fy)[0] for p in poses]
         ).astype(np.float32)
 
     print(f"rendering {args.clips} clip(s) x {args.frames} frames at {h}x{w} ...",
@@ -82,7 +88,16 @@ def main():
         train_clips = [jnp.asarray(c) for c in clips]
         eval_clip = jnp.asarray(render_clip(1000, args.frames))
     else:
-        n_train = min(args.frames * 3 // 4, args.frames - args.window)
+        if args.frames < 2 * args.window:
+            raise ValueError(
+                f"--frames {args.frames} < 2x --window {args.window}: the "
+                "split cannot hold a training window AND an eval window — "
+                "use --heldout-scene or more frames"
+            )
+        # never below one full training window
+        n_train = max(
+            min(args.frames * 3 // 4, args.frames - args.window), args.window
+        )
         train_clips = [jnp.asarray(clips[0][:n_train])]
         train_clips += [jnp.asarray(c) for c in clips[1:]]
         eval_clip = jnp.asarray(clips[0][n_train:])
@@ -129,7 +144,15 @@ def main():
     for i in range(args.steps):
         k = jax.random.fold_in(key, i)
         clip_i = train_clips[int(rng_host.integers(0, len(train_clips)))]
-        s = int(rng_host.integers(0, int(clip_i.shape[0]) - T))
+        # inclusive upper start (shape[0]-T is a valid window) and a clear
+        # error rather than integers(low >= high) on too-short clips
+        hi = int(clip_i.shape[0]) - T + 1
+        if hi <= 0:
+            raise ValueError(
+                f"clip of {int(clip_i.shape[0])} frames is shorter than the "
+                f"window {T}"
+            )
+        s = int(rng_host.integers(0, hi))
         fr = clip_i[s : s + T]
         mk = random_stroke_masks(jax.random.fold_in(k, 2), T, h, w)
         variables, opt_state, loss = step_fn(
