@@ -72,7 +72,7 @@ class InMemoryDataManager:
         self.eval_outputs = eval_outputs
         self.train_cameras = train_outputs.cameras()
         self.eval_cameras = eval_outputs.cameras()
-        self._rng = np.random.default_rng(config.seed)
+        self._rng = np.random.default_rng(self.config.seed)
 
         self.train_assets = self._load_split(train_outputs)
         self.eval_assets = self._load_split(eval_outputs)

@@ -133,6 +133,7 @@ class SyntheticDataManager:
         self.train_cameras = self.train_outputs.cameras()
         self.eval_cameras = self.eval_outputs.cameras()
         self.rays_per_batch = rays_per_batch
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self.semantics = None
 
@@ -140,9 +141,12 @@ class SyntheticDataManager:
         imgs = self._images["train"]
         n, h, w = imgs.shape[:3]
         b = self.rays_per_batch
-        cam = self._rng.integers(0, n, b)
-        row = self._rng.integers(0, h, b)
-        col = self._rng.integers(0, w, b)
+        # per-step seeding (like InMemoryDataManager): checkpoint-resume
+        # replays the identical batch stream
+        rng = np.random.default_rng(self._seed * 1_000_003 + step)
+        cam = rng.integers(0, n, b)
+        row = rng.integers(0, h, b)
+        col = rng.integers(0, w, b)
         batch = {
             "ray_indices": np.stack([cam, row, col], -1).astype(np.int32),
             "image": imgs[cam, row, col],

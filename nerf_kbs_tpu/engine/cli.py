@@ -173,10 +173,37 @@ def apply_overrides(spec: MethodSpec, overrides: dict[str, str]) -> MethodSpec:
 
 
 def build_trainer(spec: MethodSpec) -> Trainer:
+    # multi-host wiring (reference MachineConfig, train.py:44): initialize
+    # the DCN client (no-op unless NKT_NUM_PROCESSES > 1), then give each
+    # host ITS SHARE of the global ray batch with a host-distinct sampling
+    # seed — the reference's train_num_rays_per_batch // world_size +
+    # DistributedSampler (datamanager_z.py:226-245)
+    from nerf_kbs_tpu.parallel import multihost
+
+    multihost.initialize()
+    import jax as _jax
+
+    n_proc = _jax.process_count()
+    if n_proc > 1:
+        b = spec.datamanager.train_num_rays_per_batch
+        if b % n_proc:
+            raise SystemExit(
+                f"train_num_rays_per_batch {b} not divisible by "
+                f"{n_proc} processes"
+            )
+        spec = dataclasses.replace(
+            spec,
+            datamanager=dataclasses.replace(
+                spec.datamanager,
+                train_num_rays_per_batch=b // n_proc,
+                seed=spec.datamanager.seed + 7919 * _jax.process_index(),
+            ),
+        )
     if spec.dataparser is None:
         from nerf_kbs_tpu.data.synthetic import SyntheticDataManager
 
         dm = SyntheticDataManager(
+            seed=spec.datamanager.seed,
             rays_per_batch=spec.datamanager.train_num_rays_per_batch
         )
     else:

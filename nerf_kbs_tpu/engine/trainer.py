@@ -39,6 +39,7 @@ from nerf_kbs_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     replicate,
+    replicated_sharding,
     shard_batch,
 )
 
@@ -115,6 +116,13 @@ class Trainer:
         self.train_cameras: Cameras = replicate(self.mesh, self.dm.train_cameras)
         self.eval_cameras: Cameras = replicate(self.mesh, self.dm.eval_cameras)
         self._base_key = jax.random.PRNGKey(config.seed + 1)
+        # eval renders run on a LOCAL mesh in multi-host runs: each host
+        # renders its rank-assigned images on its own devices (rank-strided
+        # eval); the global mesh is for the sharded train step only
+        if jax.process_count() > 1:
+            self._local_mesh = make_mesh(jax.local_devices())
+        else:
+            self._local_mesh = self.mesh
 
         self._train_step = self._build_train_step()
         self._scan_step = None  # built lazily when steps_per_dispatch > 1
@@ -184,7 +192,19 @@ class Trainer:
                 if v.size and v.max() < 32767 and v.min() >= 0:
                     out[k] = v.astype(np.int16)
             elif c == "u8x255":
-                out[k] = np.rint(v * np.float32(255.0)).astype(np.uint8)
+                # re-verify exactness EVERY dispatch (mirrors the i16 range
+                # guard): a datamanager that starts emitting off-grid values
+                # (augmentation, fractional mask weights) must ship f32, not
+                # be silently quantized — 'lossless' is a hard contract
+                q = v * np.float32(255.0)
+                r = np.rint(q)
+                if (
+                    v.size
+                    and np.abs(q - r).max() < 1e-3
+                    and r.min() >= 0
+                    and r.max() <= 255
+                ):
+                    out[k] = r.astype(np.uint8)
         return out
 
     @staticmethod
@@ -266,6 +286,7 @@ class Trainer:
                 # land exactly on the next cadence boundary so eval/save/log
                 # schedules are honored
                 for cad in (cfg.log_every, cfg.steps_per_eval_image,
+                            cfg.steps_per_eval_batch,
                             cfg.steps_per_eval_all_images, cfg.steps_per_save):
                     nxt = (self.step // cad + 1) * cad
                     K = min(K, nxt - self.step)
@@ -310,6 +331,12 @@ class Trainer:
                 last_metrics = metrics
                 t0 = time.perf_counter()
                 rays_done = 0
+            if (
+                self.step % cfg.steps_per_eval_batch == 0
+                and hasattr(self.dm, "next_eval_batch")
+            ):
+                em = self.eval_batch(self.dm.next_eval_batch(self.step))
+                self._log({"step": self.step, **em})
             n_eval = self.dm.num_eval_images()
             if self.step % cfg.steps_per_eval_image == 0 and n_eval > 0:
                 idx = int(np.random.default_rng(self.step).integers(n_eval))
@@ -323,6 +350,41 @@ class Trainer:
         return last_metrics
 
     # ----------------------------------------------------------------- eval
+    def _local_render_state(self, cameras):
+        """Params/cameras for eval renders. Multi-host: renders run on the
+        LOCAL mesh (rank-strided eval — each host renders its assigned
+        images on its own devices); replicated arrays hold full local
+        copies, so the hop is a local device_put."""
+        if self._local_mesh is self.mesh:
+            return self.params, cameras
+        rep = replicated_sharding(self._local_mesh)
+
+        def loc(x):
+            if hasattr(x, "addressable_data"):  # global arrays; numpy passes
+                x = x.addressable_data(0)
+            return jax.device_put(np.asarray(x), rep)
+
+        return jax.tree.map(loc, self.params), jax.tree.map(loc, cameras)
+
+    def eval_batch(self, batch: dict) -> dict:
+        """PSNR over one random eval-ray batch (the reference's
+        steps_per_eval_batch cadence — cheap between-image eval signal)."""
+        idx = np.asarray(batch["ray_indices"])
+        n_dev = self._local_mesh.devices.size
+        pad = (-idx.shape[0]) % n_dev
+        idxp = (
+            np.concatenate([idx, np.tile(idx[-1:], (pad, 1))], 0) if pad else idx
+        )
+        part = shard_batch(self._local_mesh, {"ray_indices": idxp})
+        p_l, cams_l = self._local_render_state(self.eval_cameras)
+        res = self._render_chunk(
+            p_l, cams_l, part["ray_indices"],
+            jnp.asarray(self.step, jnp.float32),
+        )
+        rgb = np.asarray(res["rgb"])[: idx.shape[0]]
+        mse = float(np.mean((rgb - np.asarray(batch["image"])) ** 2))
+        return {"eval_batch_psnr": 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))}
+
     def render_camera(self, camera_idx: int, cameras: Optional[Cameras] = None) -> dict:
         """Full-image render in eval_num_rays_per_chunk chunks (reference
         chunked eval, SURVEY §3.3)."""
@@ -334,7 +396,7 @@ class Trainer:
             [np.full(h * w, camera_idx), yy.reshape(-1), xx.reshape(-1)], -1
         ).astype(np.int32)
         chunk = self.config.eval_num_rays_per_chunk
-        n_dev = self.mesh.devices.size
+        n_dev = self._local_mesh.devices.size
         chunk = max(chunk // n_dev * n_dev, n_dev)
         total = idx.shape[0]
         pad = (-total) % chunk
@@ -342,7 +404,7 @@ class Trainer:
         outs: dict[str, list] = {}
         step = jnp.asarray(self.step, jnp.float32)
         for i in range(0, idx.shape[0], chunk):
-            part = shard_batch(self.mesh, {"ray_indices": idx[i : i + chunk]})
+            part = shard_batch(self._local_mesh, {"ray_indices": idx[i : i + chunk]})
             # Live-viewer renders run concurrently with training dispatches
             # whose jits DONATE the param buffers (donate_argnums): a chunk
             # that catches the donation window reads deleted Arrays. Re-read
@@ -350,8 +412,9 @@ class Trainer:
             # dispatch or at the np.asarray fetch, so both live in the try.
             for attempt in range(8):
                 try:
+                    p_l, cams_l = self._local_render_state(cameras)
                     res = self._render_chunk(
-                        self.params, cameras, part["ray_indices"], step
+                        p_l, cams_l, part["ray_indices"], step
                     )
                     res = {k: np.asarray(v) for k, v in res.items()}
                     break

@@ -10,12 +10,11 @@ world_size/rank plumbing or per-rank sampler — the ``// world_size`` batch
 split (datamanager_z.py:226) becomes a NamedSharding constraint.
 
 Multi-host: call ``parallel.multihost.initialize()`` (wraps
-``jax.distributed.initialize``) before ``make_mesh()``; each host slices its
-local rows with ``parallel.multihost.local_batch_slice`` and assembles the
-global sharded batch via ``jax.make_array_from_process_local_data`` (see
-tests/test_multihost_dcn.py for the full two-process recipe). ``shard_batch``
-below is the single-host path — its ``jax.device_put`` to a mesh spanning
-non-addressable devices would be rejected on multi-host.
+``jax.distributed.initialize``) before ``make_mesh()``. ``shard_batch`` /
+``shard_batch_stack`` / ``replicate`` detect a mesh that spans processes and
+assemble global arrays from each host's LOCAL rows via
+``jax.make_array_from_process_local_data`` (tests/test_multihost_dcn.py runs
+the full two-process recipe, including the real Trainer).
 """
 
 from __future__ import annotations
@@ -36,6 +35,13 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def _mesh_process_count(mesh: Mesh) -> int:
+    """Number of PROCESSES the mesh spans — a local mesh inside a
+    multi-process run must take the plain device_put path, so conditioning
+    on jax.process_count() alone would be wrong."""
+    return len({d.process_index for d in mesh.devices.flat})
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading axis split across the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -46,14 +52,24 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Device-put a host batch pytree with its leading axis sharded over the
-    mesh. Leading dims must be divisible by the mesh size (the reference
-    asserts the same: rays_per_batch % world_size == 0,
-    datamanager_z.py:229)."""
+    """Host batch pytree -> leading axis sharded over the mesh. Leading dims
+    must be divisible by the mesh size (the reference asserts the same:
+    rays_per_batch % world_size == 0, datamanager_z.py:229).
+
+    Multi-host (the mesh spans processes): the passed rows are this HOST'S
+    LOCAL shard — the global array is assembled with
+    jax.make_array_from_process_local_data (a plain device_put to a mesh
+    with non-addressable devices is rejected)."""
     sh = batch_sharding(mesh)
     n = mesh.devices.size
+    n_proc = _mesh_process_count(mesh)
 
     def put(x):
+        if n_proc > 1:
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                sh, x, (x.shape[0] * n_proc,) + x.shape[1:]
+            )
         if x.shape[0] % n != 0:
             raise ValueError(
                 f"batch dim {x.shape[0]} not divisible by mesh size {n}"
@@ -64,13 +80,20 @@ def shard_batch(mesh: Mesh, tree):
 
 
 def shard_batch_stack(mesh: Mesh, tree):
-    """Device-put a (K, B, ...) stacked batch pytree with the SECOND axis
-    (rays) sharded over the mesh — the layout consumed by the scanned
-    multi-step train dispatch (scan iterates the leading K axis)."""
+    """Host (K, B, ...) stacked batch pytree with the SECOND axis (rays)
+    sharded over the mesh — the layout consumed by the scanned multi-step
+    train dispatch (scan iterates the leading K axis). Multi-host: B is this
+    host's local rows (see shard_batch)."""
     sh = NamedSharding(mesh, P(None, DATA_AXIS))
     n = mesh.devices.size
+    n_proc = _mesh_process_count(mesh)
 
     def put(x):
+        if n_proc > 1:
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                sh, x, (x.shape[0], x.shape[1] * n_proc) + x.shape[2:]
+            )
         if x.shape[1] % n != 0:
             raise ValueError(
                 f"ray dim {x.shape[1]} not divisible by mesh size {n}"
@@ -81,6 +104,15 @@ def shard_batch_stack(mesh: Mesh, tree):
 
 
 def replicate(mesh: Mesh, tree):
-    """Device-put a pytree fully replicated on the mesh (params, cameras)."""
+    """Device-put a pytree fully replicated on the mesh (params, cameras).
+    Multi-host: every host passes the same full array (deterministic init)
+    and the replicated global array is assembled from the local copies."""
     sh = replicated_sharding(mesh)
+    if _mesh_process_count(mesh) > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x), np.shape(x)
+            ),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

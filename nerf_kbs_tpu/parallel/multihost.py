@@ -46,8 +46,13 @@ def initialize(
             except RuntimeError as e:
                 # already-initialized detection above peeks at a private jax
                 # module; if that path breaks on a future jax, treat the
-                # "already initialized" error as the no-op it is
-                if "already initialized" not in str(e).lower():
+                # double-init error as the no-op it is (jax 0.9.0 phrases it
+                # 'distributed.initialize should only be called once.')
+                msg = str(e).lower()
+                if (
+                    "already initialized" not in msg
+                    and "only be called once" not in msg
+                ):
                     raise
     return {
         "process_index": jax.process_index(),

@@ -43,7 +43,10 @@ def apply_depth_colormap(
     lo = near if near is not None else float(np.percentile(d, 2))
     hi = far if far is not None else float(np.percentile(d, 98))
     x = (d - lo) / max(hi - lo, 1e-10)
-    img = apply_turbo(1.0 - np.clip(x, 0, 1))
+    # nerfstudio polarity: normalized depth feeds the colormap directly
+    # (near = dark blue, far = red) — the panels must read like the
+    # reference's
+    img = apply_turbo(np.clip(x, 0, 1))
     if accumulation is not None:
         a = accumulation[..., 0] if accumulation.ndim == 3 else accumulation
         img = img * a[..., None]
