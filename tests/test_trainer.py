@@ -252,6 +252,24 @@ def test_camera_overrides_and_ring_view():
         np.asarray(out.c2w[:, 0, 3]), np.asarray(cams.c2w[2:6, 0, 3]) + 0.1,
         atol=1e-6)
 
+    # ALL per-camera fields slice together (distortion/video_ids/camera_type
+    # previously kept their full length, pairing camera k with camera
+    # (k+lo)'s distortion)
+    import dataclasses as _dc
+    import jax.numpy as jnp
+
+    dist = np.zeros((8, 6), np.float32)
+    dist[:, 0] = np.arange(8)
+    cams_d = _dc.replace(
+        cams,
+        distortion=jnp.asarray(dist),
+        video_ids=jnp.arange(8, dtype=jnp.int32),
+    )
+    out_d = apply_camera_overrides(cams_d, frame_range=(2, 5))
+    assert out_d.distortion.shape[0] == 4
+    np.testing.assert_allclose(np.asarray(out_d.distortion[:, 0]), [2, 3, 4, 5])
+    np.testing.assert_allclose(np.asarray(out_d.video_ids), [2, 3, 4, 5])
+
     ring = ring_view_path(np.asarray(cams.c2w), n=12)
     assert ring.shape == (12, 3, 4)
     # each pose is a valid rotation facing the center
