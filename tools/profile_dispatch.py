@@ -14,6 +14,13 @@ Run on the real chip:  python tools/profile_dispatch.py --dispatches 12
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+# repo-root import shim: `python tools/x.py` puts tools/ (not the repo
+# root) on sys.path, so nerf_kbs_tpu would not resolve without this
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import time
 

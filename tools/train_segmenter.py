@@ -16,6 +16,13 @@ Usage: python tools/train_segmenter.py --scenes 20 --steps 2000
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+# repo-root import shim: `python tools/x.py` puts tools/ (not the repo
+# root) on sys.path, so nerf_kbs_tpu would not resolve without this
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import dataclasses
 import json

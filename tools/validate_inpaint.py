@@ -19,6 +19,13 @@ Usage: python tools/validate_inpaint.py --steps 800 --size 128
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+# repo-root import shim: `python tools/x.py` puts tools/ (not the repo
+# root) on sys.path, so nerf_kbs_tpu would not resolve without this
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import time
