@@ -407,10 +407,14 @@ class Trainer:
             part = shard_batch(self._local_mesh, {"ray_indices": idx[i : i + chunk]})
             # Live-viewer renders run concurrently with training dispatches
             # whose jits DONATE the param buffers (donate_argnums): a chunk
-            # that catches the donation window reads deleted Arrays. Re-read
-            # self.params and retry (bounded); the error surfaces either at
-            # dispatch or at the np.asarray fetch, so both live in the try.
-            for attempt in range(8):
+            # that catches the donation window reads deleted Arrays, and
+            # self.params stays deleted until the WHOLE dispatch returns —
+            # seconds for a 50-step scanned dispatch. Re-read self.params
+            # and retry on a deadline, not a fixed count; the error surfaces
+            # either at dispatch or at the np.asarray fetch, so both live in
+            # the try.
+            deadline = time.monotonic() + 60.0
+            while True:
                 try:
                     p_l, cams_l = self._local_render_state(cameras)
                     res = self._render_chunk(
@@ -419,9 +423,10 @@ class Trainer:
                     res = {k: np.asarray(v) for k, v in res.items()}
                     break
                 except Exception as e:  # jax raises RuntimeError/ValueError
-                    if "delete" not in str(e).lower() or attempt == 7:
+                    if ("delete" not in str(e).lower()
+                            or time.monotonic() > deadline):
                         raise
-                    time.sleep(0.05)
+                    time.sleep(0.1)
             for k, v in res.items():
                 outs.setdefault(k, []).append(v)
         return {

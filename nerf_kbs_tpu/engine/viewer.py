@@ -13,11 +13,19 @@ Two modes:
 
 The HTML page is a continuous free-camera navigator: pointer drag orbits
 (theta, phi), wheel zooms radius, and with "live re-render" checked the
-current pose re-renders whenever /status reports a new training step —
-the reference's vis='viewer' interaction model over plain HTTP.
+current pose re-renders whenever training advances — the reference's
+vis='viewer' interaction model (nerfstudio websocket viewer,
+reference train.py:100).
 
-Endpoints:
+Transport is a real RFC-6455 WebSocket when the browser supports it
+(GET /ws): the server PUSHES a status JSON text frame whenever the
+training step advances, the client sends {"type": "pose", theta, phi,
+radius, size} messages, and rendered frames come back as binary PNG
+frames — no polling. Plain-HTTP endpoints remain as the fallback (and
+as a scriptable API):
+
   GET /            HTML page (drag-to-orbit live view + camera controls)
+  GET /ws          WebSocket upgrade (status push + pose->PNG frames)
   GET /status      JSON {step, num_eval_images, mode, last_metrics}
   GET /render?cam=0&kind=rgb|depth        eval-camera render
   GET /orbit?theta=0&phi=0.3&radius=1.6&size=128   free-orbit render
@@ -26,15 +34,98 @@ Endpoints:
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import io
 import json
 import os
+import socket
+import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
+
+# ------------------------------------------------------------- websocket
+# Minimal RFC-6455 server-side framing (stdlib only; no external deps).
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def ws_accept_key(client_key: str) -> str:
+    digest = hashlib.sha1((client_key + _WS_GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+def ws_send_frame(sock, payload: bytes, opcode: int) -> None:
+    """One unfragmented, unmasked server->client frame (FIN set)."""
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([n])
+    elif n < 1 << 16:
+        head += bytes([126]) + struct.pack(">H", n)
+    else:
+        head += bytes([127]) + struct.pack(">Q", n)
+    sock.sendall(head + payload)
+
+
+def _read_exact(sock, n: int):
+    """Read exactly n bytes. Raises TimeoutError only when NO bytes have
+    arrived yet (idle between frames); once a frame has started, retries
+    through timeouts (bounded) so a short socket timeout cannot corrupt
+    frame sync mid-read. Returns None on EOF / dead peer."""
+    buf = b""
+    stalls = 0
+    while len(buf) < n:
+        try:
+            chunk = sock.recv(n - len(buf))
+        except (socket.timeout, TimeoutError):
+            if not buf:
+                raise
+            stalls += 1
+            if stalls > 240:  # ~2 min mid-frame silence: peer is gone
+                return None
+            continue
+        if not chunk:
+            return None
+        buf += chunk
+        stalls = 0
+    return buf
+
+
+def ws_recv_frame(sock):
+    """Receive one frame -> (opcode, payload). None on EOF; propagates
+    TimeoutError when the connection is idle (no frame started)."""
+    hdr = _read_exact(sock, 2)
+    if hdr is None:
+        return None
+    opcode = hdr[0] & 0x0F
+    masked = bool(hdr[1] & 0x80)
+    n = hdr[1] & 0x7F
+    if n == 126:
+        ext = _read_exact(sock, 2)
+        if ext is None:
+            return None
+        n = struct.unpack(">H", ext)[0]
+    elif n == 127:
+        ext = _read_exact(sock, 8)
+        if ext is None:
+            return None
+        n = struct.unpack(">Q", ext)[0]
+    mask = b"\x00" * 4
+    if masked:  # client->server frames are always masked (RFC 6455 §5.1)
+        mask = _read_exact(sock, 4)
+        if mask is None:
+            return None
+    payload = _read_exact(sock, n) if n else b""
+    if payload is None:
+        return None
+    if masked and n:
+        payload = bytes(c ^ mask[i & 3] for i, c in enumerate(payload))
+    return opcode, payload
 
 _PAGE = """<!doctype html><html><head><title>nerf-kbs-tpu viewer</title></head>
 <body style="font-family:monospace;background:#111;color:#ddd">
@@ -52,23 +143,48 @@ _PAGE = """<!doctype html><html><head><title>nerf-kbs-tpu viewer</title></head>
    style="max-width:95%;image-rendering:pixelated;cursor:grab;touch-action:none;user-select:none"></p>
 <div style="color:#888">drag = orbit &middot; wheel = zoom &middot; live re-renders as training advances</div>
 <script>
-// Continuous free-camera navigation over HTTP: drag updates (theta, phi),
-// wheel updates radius; at most one render request in flight, latest wins.
+// Continuous free-camera navigation: drag updates (theta, phi), wheel
+// updates radius; at most one render request in flight, latest wins.
+// Transport: WebSocket (server pushes status on step advance; pose
+// messages out, binary PNG frames back) with plain-HTTP fallback.
 let th=0, ph=0.35, r=1.6, inflight=false, dirty=true, lastStep=-1;
+let ws=null, wsOpen=false;
 const im=document.getElementById('im');
 function poseStr(){return 'th='+th.toFixed(2)+' ph='+ph.toFixed(2)+' r='+r.toFixed(2);}
+function showFrame(blob){
+  const prev=im.src;
+  im.src=URL.createObjectURL(blob);
+  if(prev.startsWith('blob:')){URL.revokeObjectURL(prev);}
+  document.getElementById('pose').textContent=poseStr();
+}
+function onStatus(s){
+  document.getElementById('status').textContent=JSON.stringify(s);
+  if(document.getElementById('live').checked && s.step!==undefined && s.step!==lastStep){
+    lastStep=s.step; dirty=true;
+  }
+}
+function connectWS(){
+  if(!window.WebSocket){return;}
+  try{ws=new WebSocket('ws://'+location.host+'/ws');}catch(e){return;}
+  ws.binaryType='blob';
+  ws.onopen=()=>{wsOpen=true;};
+  ws.onclose=ws.onerror=()=>{wsOpen=false; ws=null; inflight=false;};
+  ws.onmessage=(ev)=>{
+    if(typeof ev.data==='string'){onStatus(JSON.parse(ev.data));}
+    else{showFrame(ev.data); inflight=false;}
+  };
+}
+connectWS();
 async function pump(){
   if(inflight||!dirty){return;}
   inflight=true; dirty=false;
   const size=document.getElementById('size').value;
+  if(wsOpen){
+    ws.send(JSON.stringify({type:'pose',theta:th,phi:ph,radius:r,size:+size}));
+    return; // the binary reply clears inflight
+  }
   const url='/orbit?theta='+th+'&phi='+ph+'&radius='+r+'&size='+size+'&t='+Date.now();
-  try{
-    const b=await (await fetch(url)).blob();
-    const prev=im.src;
-    im.src=URL.createObjectURL(b);
-    if(prev.startsWith('blob:')){URL.revokeObjectURL(prev);}
-    document.getElementById('pose').textContent=poseStr();
-  }catch(e){}
+  try{ showFrame(await (await fetch(url)).blob()); }catch(e){}
   inflight=false;
 }
 setInterval(pump, 120);
@@ -87,14 +203,8 @@ function renderCam(){
   im.src='/render?cam='+c+'&kind='+k+'&t='+Date.now();
 }
 async function refresh(){
-  try{
-    const s = await (await fetch('/status')).json();
-    document.getElementById('status').textContent = JSON.stringify(s);
-    // training advanced + live box checked -> re-render the current pose
-    if(document.getElementById('live').checked && s.step!==undefined && s.step!==lastStep){
-      lastStep=s.step; dirty=true;
-    }
-  }catch(e){}
+  if(wsOpen){return;} // server pushes status over the websocket
+  try{ onStatus(await (await fetch('/status')).json()); }catch(e){}
 }
 refresh(); setInterval(refresh, 2000);
 </script></body></html>"""
@@ -126,6 +236,9 @@ class ViewerServer:
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 is required for the 101 Switching Protocols upgrade
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet
                 pass
 
@@ -142,6 +255,8 @@ class ViewerServer:
                     q = {k: v[0] for k, v in parse_qs(u.query).items()}
                     if u.path == "/":
                         self._send(200, _PAGE.encode(), "text/html")
+                    elif u.path == "/ws":
+                        viewer._ws_session(self)
                     elif u.path == "/status":
                         self._send(200, json.dumps(viewer.status()).encode())
                     elif u.path == "/render":
@@ -228,6 +343,77 @@ class ViewerServer:
         with self._render_lock:
             outputs = self.trainer.render_camera(0, cameras=cameras)
         return self._encode(outputs, "rgb")
+
+    def _ws_session(self, handler) -> None:
+        """RFC-6455 session: handshake, then serve until close. Pushes a
+        status text frame whenever the training step advances; answers
+        {"type": "pose"} messages with binary PNG frames and
+        {"type": "status"} with an immediate status frame. Runs on the
+        per-connection thread ThreadingHTTPServer already gives us."""
+        key = handler.headers.get("Sec-WebSocket-Key")
+        upgrade = handler.headers.get("Upgrade", "").lower()
+        if upgrade != "websocket" or not key:
+            handler._send(426, b'{"error": "websocket upgrade required"}')
+            return
+        handler.send_response(101, "Switching Protocols")
+        handler.send_header("Upgrade", "websocket")
+        handler.send_header("Connection", "Upgrade")
+        handler.send_header("Sec-WebSocket-Accept", ws_accept_key(key))
+        handler.end_headers()
+        handler.close_connection = True  # the socket is ours now
+        sock = handler.connection
+        # short timeout = the cadence of idle status pushes
+        sock.settimeout(0.5)
+        last_step = None
+        try:
+            st = self.status()
+            last_step = st.get("step")
+            ws_send_frame(sock, json.dumps(st).encode(), 0x1)
+            while True:
+                try:
+                    frame = ws_recv_frame(sock)
+                except (socket.timeout, TimeoutError):
+                    st = self.status()  # idle: push on step advance
+                    if st.get("step") != last_step:
+                        last_step = st.get("step")
+                        ws_send_frame(sock, json.dumps(st).encode(), 0x1)
+                    continue
+                if frame is None:
+                    return
+                opcode, payload = frame
+                if opcode == 0x8:  # close: echo and finish
+                    try:
+                        ws_send_frame(sock, payload[:2], 0x8)
+                    except OSError:
+                        pass
+                    return
+                if opcode == 0x9:  # ping -> pong
+                    ws_send_frame(sock, payload, 0xA)
+                    continue
+                if opcode != 0x1:  # ignore binary/pong/continuation
+                    continue
+                try:
+                    msg = json.loads(payload.decode())
+                except (UnicodeDecodeError, json.JSONDecodeError):
+                    continue
+                if msg.get("type") == "pose":
+                    png = self.render_orbit(
+                        float(msg.get("theta", 0.0)),
+                        float(msg.get("phi", 0.35)),
+                        float(msg.get("radius", 1.6)),
+                        int(msg.get("size", 128)),
+                    )
+                    ws_send_frame(sock, png, 0x2)
+                elif msg.get("type") == "status":
+                    st = self.status()
+                    last_step = st.get("step")
+                    ws_send_frame(sock, json.dumps(st).encode(), 0x1)
+        except Exception as e:
+            # past the 101 handshake HTTP error reporting is impossible;
+            # any failure (render error, dead peer) ends the session
+            if not isinstance(e, (OSError, BrokenPipeError)):
+                print(f"viewer: websocket session error: {e!r}", flush=True)
+            return
 
     def latest_dump(self, kind: str):
         if self.eval_image_dir is None or not self.eval_image_dir.exists():

@@ -138,6 +138,106 @@ def test_raft_train_step_decreases_loss(tmp_path):
     assert np.isfinite(losses).all()
 
 
+def _tiny_viewer_trainer(tmp_path):
+    import dataclasses
+
+    from nerf_kbs_tpu.data.synthetic import SyntheticDataManager
+    from nerf_kbs_tpu.engine.optimizers import OptimizerConfig
+    from nerf_kbs_tpu.engine.trainer import Trainer, TrainerConfig
+    from nerf_kbs_tpu.models import nerfacto
+
+    from tests.test_models import TINY
+
+    dm = SyntheticDataManager(num_cameras=4, h=16, w=16, rays_per_batch=64)
+    cfg = dataclasses.replace(TINY, num_images=4)
+    return Trainer(
+        TrainerConfig(output_dir=str(tmp_path), eval_num_rays_per_chunk=256),
+        nerfacto, cfg,
+        {"proposal_networks": OptimizerConfig(), "fields": OptimizerConfig()},
+        dm,
+    )
+
+
+def test_viewer_websocket(tmp_path):
+    """RFC-6455 path: handshake accept key, initial status push, masked
+    pose message -> binary PNG frame, ping -> pong, clean close echo."""
+    import base64
+    import json
+    import socket
+    import struct
+
+    from nerf_kbs_tpu.engine.viewer import ViewerServer, ws_accept_key
+
+    tr = _tiny_viewer_trainer(tmp_path)
+    srv = ViewerServer(tr, eval_image_dir=str(tr.out_dir / "eval_images"), port=0)
+    port = srv._server.server_address[1]
+    srv.start_background()
+    s = None
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=240)
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        s.sendall(
+            (f"GET /ws HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+             "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+             f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+             ).encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += s.recv(4096)
+        head, leftover = resp.split(b"\r\n\r\n", 1)
+        assert b" 101 " in head.split(b"\r\n")[0] + b" "
+        assert ws_accept_key(key).encode() in head
+
+        buf = bytearray(leftover)
+
+        def read_exact(n):
+            while len(buf) < n:
+                chunk = s.recv(65536)
+                assert chunk, "server closed mid-frame"
+                buf.extend(chunk)
+            out = bytes(buf[:n])
+            del buf[:n]
+            return out
+
+        def recv_frame():  # server->client frames are unmasked
+            hdr = read_exact(2)
+            opcode, n = hdr[0] & 0x0F, hdr[1] & 0x7F
+            assert not hdr[1] & 0x80
+            if n == 126:
+                n = struct.unpack(">H", read_exact(2))[0]
+            elif n == 127:
+                n = struct.unpack(">Q", read_exact(8))[0]
+            return opcode, read_exact(n)
+
+        def send_masked(payload, opcode=0x1):
+            assert len(payload) < 126
+            mask = b"\x01\x02\x03\x04"
+            s.sendall(bytes([0x80 | opcode, 0x80 | len(payload)]) + mask
+                      + bytes(c ^ mask[i & 3] for i, c in enumerate(payload)))
+
+        op, payload = recv_frame()  # initial status push
+        assert op == 0x1
+        status = json.loads(payload)
+        assert status["step"] == 0 and status["mode"] == "standalone"
+
+        send_masked(json.dumps(
+            {"type": "pose", "theta": 1.0, "size": 16}).encode())
+        op, payload = recv_frame()
+        assert op == 0x2 and payload[:4] == b"\x89PNG"
+
+        send_masked(b"hi", opcode=0x9)
+        op, payload = recv_frame()
+        assert op == 0xA and payload == b"hi"
+
+        send_masked(struct.pack(">H", 1000), opcode=0x8)
+        op, payload = recv_frame()
+        assert op == 0x8 and payload == struct.pack(">H", 1000)
+    finally:
+        if s is not None:
+            s.close()
+        srv.shutdown()
+
+
 def test_viewer_server_endpoints(tmp_path):
     """Viewer stand-in: /status, /render, /orbit against a tiny trainer."""
     import json
