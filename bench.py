@@ -96,17 +96,22 @@ def bench_method(
 
     @jax.jit
     def multi_step(params, opt_state, key):
-        def body(carry, k):
+        # FRESH per-step ray indices, pre-sampled as (INNER, B, 3) scan xs —
+        # the same shape the real trainer ships (stacked host batches, one
+        # per scan step). Loop-varying xs guarantee XLA cannot hoist ray
+        # generation (or any index-dependent work) out of the scan body,
+        # while the per-step RNG plumbing (~7 small ops x ~40 us fixed cost)
+        # stays outside the timed body, as it does in the real trainer.
+        ks = jax.random.split(key, INNER)
+        all_indices = jax.vmap(
+            lambda k: _random_ray_indices(k, batch_size))(ks)
+        all_images = jax.random.uniform(
+            jax.random.fold_in(key, 7), (INNER, batch_size, 3))
+
+        def body(carry, sb):
             params, opt_state = carry
-            # FRESH per-step ray indices sampled on-device from the scan key:
-            # loop-varying indices guarantee XLA cannot hoist ray generation
-            # (or any index-dependent work) out of the scan body
-            ki, kt = jax.random.split(k)
-            ray_indices = _random_ray_indices(ki, batch_size)
-            batch = {
-                "ray_indices": ray_indices,
-                "image": jax.random.uniform(kt, (batch_size, 3)),
-            }
+            ray_indices, image, k = sb
+            batch = {"ray_indices": ray_indices, "image": image}
             rays = generate_rays(cameras, ray_indices)
 
             def loss_fn(p):
@@ -117,8 +122,8 @@ def bench_method(
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), loss
 
-        keys = jax.random.split(key, INNER)
-        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), keys)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (all_indices, all_images, ks))
         return params, opt_state, losses[-1]
 
     key = jax.random.PRNGKey(1)
@@ -175,16 +180,21 @@ def bench_render(batch_size: int, steps: int, on_tpu: bool, inner: int = 20) -> 
 
     @jax.jit
     def multi_render(key):
-        def body(acc, k):
-            ray_indices = _random_ray_indices(k, batch_size)
+        # pre-sampled per-chunk indices as scan xs (see bench_method)
+        ks = jax.random.split(key, inner)
+        all_indices = jax.vmap(
+            lambda k: _random_ray_indices(k, batch_size))(ks)
+
+        def body(acc, sb):
+            ray_indices, k = sb
             rays = generate_rays(cameras, ray_indices)
             out = nerfacto.forward(params, cfg, rays, key=k, step=30000.0, train=False)
             # consume rgb+depth so nothing is dead-code-eliminated; feed the
             # sum back as the carry so chunks chain (tunnel memoization)
             return acc + out["rgb"].sum() + out["depth"].sum(), None
 
-        keys = jax.random.split(key, inner)
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), keys)
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              (all_indices, ks))
         return acc
 
     key = jax.random.PRNGKey(2)

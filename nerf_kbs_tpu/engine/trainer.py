@@ -78,7 +78,12 @@ class TrainerConfig:
     # {0,1} masks as uint8. 28 -> ~13 bytes/ray at the flagship point; the
     # codec per key is decided (and its exactness verified) on the first
     # dispatch. Decoded at the top of the scan body.
-    compress_host_feed: bool = True
+    # None = auto: ON multi-process (the per-host feed crosses DCN, where
+    # bytes/ray is the wall), OFF single-process — measured single-chip the
+    # on-device decode costs MORE than the saved transfer (device scan
+    # 831.8 vs 797.2 ms/dispatch at 16k x 50; transfer saved only 10 ms,
+    # tools/profile_dispatch.py round 3).
+    compress_host_feed: Optional[bool] = None
 
 
 class Trainer:
@@ -299,7 +304,10 @@ class Trainer:
                 stacked = {
                     k: np.stack([b[k] for b in batches]) for k in batches[0]
                 }
-                if cfg.compress_host_feed:
+                compress = cfg.compress_host_feed
+                if compress is None:  # auto: only when the feed crosses DCN
+                    compress = jax.process_count() > 1
+                if compress:
                     if self._feed_codec is None:
                         self._feed_codec = self._choose_feed_codec(stacked)
                     stacked = self._encode_feed(stacked, self._feed_codec)

@@ -84,6 +84,19 @@ def test_trainer_loss_decreases_on_synthetic_scene(tmp_path):
     assert any("depth" in p.name for p in dumps)
 
 
+def test_host_feed_codec_auto_default(tmp_path):
+    """compress_host_feed=None resolves to OFF single-process (the device
+    decode costs more than the saved transfer on one chip) and the explicit
+    True still engages the codec."""
+    tr = make_trainer(tmp_path, steps_per_dispatch=4)
+    tr.train(num_iterations=8)
+    assert tr._feed_codec is None  # auto: single-process -> no codec
+
+    tr2 = make_trainer(tmp_path, steps_per_dispatch=4, compress_host_feed=True)
+    tr2.train(num_iterations=8)
+    assert tr2._feed_codec  # explicit True -> codec chosen on first dispatch
+
+
 def test_host_feed_codec_roundtrip_and_gating():
     """The wire codec must be bit-exact on uint8-sourced rows and must NOT
     touch keys it cannot encode losslessly."""

@@ -42,6 +42,12 @@ def main():
         help="apply the trainer's lossless host-feed wire codec "
         "(TrainerConfig.compress_host_feed) to the shipped batch",
     )
+    ap.add_argument(
+        "--no-depth",
+        action="store_true",
+        help="drop the depth-supervision loss (ablates the depth term "
+        "against tools/profile_step.py's rgb-only step)",
+    )
     args = ap.parse_args()
 
     if args.platform:
@@ -76,7 +82,7 @@ def main():
         num_proposal_samples_per_ray=(128, 48),
         stop_grad_sampling=True,
         compute_dtype="bfloat16" if jax.default_backend() != "cpu" else "float32",
-        use_depth=True,
+        use_depth=not args.no_depth,
     )
     params = nerfacto.init(jax.random.PRNGKey(0), cfg)
     optimizer = build_optimizer(
@@ -127,7 +133,8 @@ def main():
     def assemble(d0):
         batches = [
             native.sample_ray_batch(
-                images, B, seed=d0 * K + i, depths=depths
+                images, B, seed=d0 * K + i,
+                depths=None if args.no_depth else depths,
             )
             for i in range(K)
         ]
