@@ -84,6 +84,14 @@ class TrainerConfig:
     # 831.8 vs 797.2 ms/dispatch at 16k x 50; transfer saved only 10 ms,
     # tools/profile_dispatch.py round 3).
     compress_host_feed: Optional[bool] = None
+    # Hoist generate_rays out of the scan body into ONE per-dispatch batched
+    # call (scanned dispatch only, and only while the camera optimizer is
+    # off — with it on, rays depend on the per-step params and are always
+    # regenerated in-body). The batched call computes the same rays, but
+    # XLA codegen is problem-size-dependent, so directions differ from the
+    # per-step program by ~1 ulp — set False to reproduce the per-step
+    # dispatch trajectory bit-exactly (tests/test_trainer.py pins this).
+    hoist_ray_generation: bool = True
 
 
 class Trainer:
@@ -235,16 +243,40 @@ class Trainer:
 
         def scan_steps(params, opt_state, cameras, batches, base_key, step0,
                        step0_int):
+            # Batched wire decode + ray generation for the WHOLE dispatch
+            # before the scan: the per-step calls are fixed-op-cost bound
+            # (~40 us/op on v5e — generate_rays alone measured ~1.2 ms/step
+            # in-scan, PARITY step-time table), so one (K*B)-sized call
+            # amortizes them K-fold. Exact only while rays do not depend on
+            # params — with the camera optimizer ON (camera_deltas != None,
+            # a trace-time property of the param pytree) rays must be
+            # regenerated per step from the freshly-updated deltas.
+            batches = Trainer._decode_feed(batches)
+            K = jax.tree.leaves(batches)[0].shape[0]
+            hoist = self.config.hoist_ray_generation and getattr(
+                model, "camera_deltas", lambda _p: None)(params) is None
+            rays_pre = None
+            if hoist:
+                # vmap over K (not reshape-to-(K*B)): keeps the batch axis
+                # intact so a DP-sharded feed stays sharded under GSPMD
+                rays_pre = jax.vmap(
+                    lambda ix: generate_rays(cameras, ix)
+                )(batches["ray_indices"])
+
             def body(carry, sb):
                 params, opt_state, step = carry
-                batch, i = sb
-                batch = Trainer._decode_feed(batch)  # wire-compressed rows
+                batch, rays_hoisted, i = sb
                 # same key stream as the per-step path: fold(base, step_int)
                 key = jax.random.fold_in(base_key, step0_int + i)
 
                 def loss_fn(p):
-                    delta = getattr(model, "camera_deltas", lambda _p: None)(p)
-                    rays = generate_rays(cameras, batch["ray_indices"], c2w_delta=delta)
+                    if rays_hoisted is None:
+                        delta = getattr(model, "camera_deltas",
+                                        lambda _p: None)(p)
+                        rays = generate_rays(cameras, batch["ray_indices"],
+                                             c2w_delta=delta)
+                    else:
+                        rays = rays_hoisted
                     out = model.forward(p, mcfg, rays, key=key, step=step, train=True)
                     return model.loss(mcfg, out, batch, train=True)
 
@@ -254,10 +286,9 @@ class Trainer:
                 metrics["total_loss"] = loss
                 return (params, opt_state, step + 1.0), metrics
 
-            K = jax.tree.leaves(batches)[0].shape[0]
             (params, opt_state, _), metrics = jax.lax.scan(
                 body, (params, opt_state, step0),
-                (batches, jnp.arange(K, dtype=jnp.int32)),
+                (batches, rays_pre, jnp.arange(K, dtype=jnp.int32)),
             )
             return params, opt_state, jax.tree.map(lambda m: m[-1], metrics)
 

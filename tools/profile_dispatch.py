@@ -48,6 +48,12 @@ def main():
         help="drop the depth-supervision loss (ablates the depth term "
         "against tools/profile_step.py's rgb-only step)",
     )
+    ap.add_argument(
+        "--no-hoist",
+        action="store_true",
+        help="keep generate_rays inside the scan body (the pre-hoist "
+        "trainer program, for A/B against the per-dispatch batched call)",
+    )
     args = ap.parse_args()
 
     if args.platform:
@@ -105,17 +111,25 @@ def main():
 
     @jax.jit
     def scan_step(params, opt_state, stacked, step):
+        if args.compress:
+            from nerf_kbs_tpu.engine.trainer import Trainer
+
+            stacked = Trainer._decode_feed(stacked)
+        rays_pre = None
+        if not args.no_hoist:
+            # per-dispatch hoisted ray generation, as the real trainer's
+            # scan dispatch runs it (engine/trainer._build_scan_step)
+            rays_pre = jax.vmap(lambda ix: generate_rays(cameras_d, ix))(
+                stacked["ray_indices"]
+            )
+
         def body(carry, xs):
             params, opt_state = carry
-            if args.compress:
-                from nerf_kbs_tpu.engine.trainer import Trainer
-
-                batch = Trainer._decode_feed(xs)
-            else:
-                batch = xs
+            batch, rays_h = xs
 
             def loss_fn(p):
-                rays = generate_rays(cameras_d, batch["ray_indices"])
+                rays = (generate_rays(cameras_d, batch["ray_indices"])
+                        if rays_h is None else rays_h)
                 out = nerfacto.forward(
                     p, cfg, rays, key=jax.random.PRNGKey(3), step=step, train=True
                 )
@@ -125,7 +139,8 @@ def main():
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), loss
 
-        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), stacked)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (stacked, rays_pre))
         return params, opt_state, losses[-1]
 
     codec = {}
