@@ -80,6 +80,12 @@ class InMemoryDataManager:
 
     # ---------------------------------------------------------------- load
     def _load_split(self, out: DataparserOutputs) -> dict:
+        if not out.image_filenames:
+            raise ValueError(
+                "dataparser produced an EMPTY split: with few frames a high "
+                "train_split_fraction can leave zero eval images — lower the "
+                "fraction or widen the frame window"
+            )
         with ThreadPoolExecutor(self.config.num_workers) as ex:
             images = list(ex.map(_load_image, out.image_filenames))
             depths = (
