@@ -107,18 +107,15 @@ def bench_method(
             lambda k: _random_ray_indices(k, batch_size))(ks)
         all_images = jax.random.uniform(
             jax.random.fold_in(key, 7), (INNER, batch_size, 3))
-        # per-dispatch hoisted ray generation, EXACTLY as the real trainer's
-        # scan dispatch runs it (engine/trainer._build_scan_step): with the
-        # camera optimizer off, rays depend only on the indices, so one
-        # batched vmap-over-K call amortizes generate_rays' ~30 fixed-cost
-        # ops (~1.2 ms/step if left in-scan). Inside the jit => inside the
-        # timed window; its amortized cost IS counted.
-        all_rays = jax.vmap(lambda ix: generate_rays(cameras, ix))(all_indices)
-
+        # ray generation stays IN the scan body, as the real trainer runs
+        # it: per-dispatch hoisting measured SLOWER (16.21 vs 15.89 ms/step
+        # — materialized rays round-trip HBM; in-scan generation fuses into
+        # the step program, tools/profile_dispatch.py --hoist A/B)
         def body(carry, sb):
             params, opt_state = carry
-            ray_indices, image, k, rays = sb
+            ray_indices, image, k = sb
             batch = {"ray_indices": ray_indices, "image": image}
+            rays = generate_rays(cameras, ray_indices)
 
             def loss_fn(p):
                 out = nerfacto.forward(p, cfg, rays, key=k, step=500.0, train=True)
@@ -129,7 +126,7 @@ def bench_method(
             return (optax.apply_updates(params, updates), opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (all_indices, all_images, ks, all_rays))
+            body, (params, opt_state), (all_indices, all_images, ks))
         return params, opt_state, losses[-1]
 
     key = jax.random.PRNGKey(1)

@@ -87,11 +87,17 @@ class TrainerConfig:
     # Hoist generate_rays out of the scan body into ONE per-dispatch batched
     # call (scanned dispatch only, and only while the camera optimizer is
     # off — with it on, rays depend on the per-step params and are always
-    # regenerated in-body). The batched call computes the same rays, but
-    # XLA codegen is problem-size-dependent, so directions differ from the
-    # per-step program by ~1 ulp — set False to reproduce the per-step
-    # dispatch trajectory bit-exactly (tests/test_trainer.py pins this).
-    hoist_ray_generation: bool = True
+    # regenerated in-body). MEASURED NEGATIVE on v5e, hence default False:
+    # 16.21 vs 15.89 ms/step at 16k x 50 (tools/profile_dispatch.py
+    # --hoist A/B, round 3). In-scan ray generation fuses into the step
+    # program and never materializes; the batched call round-trips ~30 MB
+    # of rays (plus the one-hot camera fetch) through HBM every dispatch.
+    # The ~40 us/op fixed cost that motivated the hoist applies to
+    # DISPATCHED ops, not ops fused inside a compiled scan body. Kept as a
+    # flag because the A/B is one config field away and the batched call
+    # also differs by ~1 ulp (size-dependent codegen) from the per-step
+    # program — tests pin both trajectories.
+    hoist_ray_generation: bool = False
 
 
 class Trainer:

@@ -254,10 +254,10 @@ def test_scanned_dispatch_hoisted_rays_close(tmp_path):
     (an off-by-one in the scan xs would blow far past this tolerance)."""
     from jax.flatten_util import ravel_pytree
 
-    t1 = make_trainer(tmp_path / "a", steps_per_dispatch=4,
-                      hoist_ray_generation=False)
+    t1 = make_trainer(tmp_path / "a", steps_per_dispatch=4)
     t1.train(num_iterations=8)
-    t2 = make_trainer(tmp_path / "b", steps_per_dispatch=4)
+    t2 = make_trainer(tmp_path / "b", steps_per_dispatch=4,
+                      hoist_ray_generation=True)
     t2.train(num_iterations=8)
     f1 = np.asarray(ravel_pytree(t1.params)[0])
     f2 = np.asarray(ravel_pytree(t2.params)[0])

@@ -49,10 +49,12 @@ def main():
         "against tools/profile_step.py's rgb-only step)",
     )
     ap.add_argument(
-        "--no-hoist",
+        "--hoist",
         action="store_true",
-        help="keep generate_rays inside the scan body (the pre-hoist "
-        "trainer program, for A/B against the per-dispatch batched call)",
+        help="generate the whole dispatch's rays in one batched call "
+        "before the scan instead of in-body (TrainerConfig."
+        "hoist_ray_generation) — measured SLOWER on v5e (16.21 vs 15.89 "
+        "ms/step: materialized rays round-trip HBM, in-scan fuses)",
     )
     args = ap.parse_args()
 
@@ -116,9 +118,7 @@ def main():
 
             stacked = Trainer._decode_feed(stacked)
         rays_pre = None
-        if not args.no_hoist:
-            # per-dispatch hoisted ray generation, as the real trainer's
-            # scan dispatch runs it (engine/trainer._build_scan_step)
+        if args.hoist:
             rays_pre = jax.vmap(lambda ix: generate_rays(cameras_d, ix))(
                 stacked["ray_indices"]
             )
