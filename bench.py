@@ -3,7 +3,7 @@
 Measures rays/sec through the FULL compiled train step (forward + loss +
 backward + per-group optax update). The HEADLINE JSON line is the flagship
 operating point (methods.nerfacto_tpu_method): 16384 rays/batch, tri-basis
-fourier field, proposal samples (128, 48) -> 48 nerf samples, detached PDF
+fourier field, proposal samples (96, 32) -> 48 nerf samples, detached PDF
 resampling, KITTI-sized cameras. The '#'-prefixed hash parity line keeps
 the reference operating point (4096 rays, (256, 96) proposals; reference
 train.py:70-71, nerfacto.py:161-174).
@@ -69,7 +69,7 @@ def bench_method(
         fourier_basis="tri" if field_type == "fourier" else "sincos",
         max_res=64 if field_type == "fourier" else 2048,
         base_res=4 if field_type == "fourier" else 16,
-        num_proposal_samples_per_ray=(128, 48)
+        num_proposal_samples_per_ray=(96, 32)
         if field_type == "fourier"
         else (256, 96),
         # flagship: mip-NeRF 360 detached resampling (methods.py nerfacto-tpu)
@@ -173,7 +173,7 @@ def bench_render(batch_size: int, steps: int, on_tpu: bool, inner: int = 20) -> 
         fourier_basis="tri",
         max_res=64,
         base_res=4,
-        num_proposal_samples_per_ray=(128, 48),
+        num_proposal_samples_per_ray=(96, 32),
         stop_grad_sampling=True,
     )
     params = nerfacto.init(jax.random.PRNGKey(0), cfg)

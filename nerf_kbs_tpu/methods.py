@@ -189,11 +189,12 @@ def nerfacto_tpu_method() -> MethodSpec:
         # synthetic scene @3k steps: 28.16 eval PSNR at 619k rays/s vs 27.76
         # at 360k for sincos — better on BOTH axes.
         fourier_basis="tri",
-        # halved proposal budget: the pdf compare-all and the proposal density
-        # evals both scale with bin count; (128, 48) runs 1.5x faster with the
-        # quality gap closing by wall-clock (measured 930k rays/s at 30.97
-        # eval PSNR @3k steps with 16k-ray batches; PARITY.md study table)
-        num_proposal_samples_per_ray=(128, 48),
+        # reduced proposal budget: the pdf compare-all and the proposal
+        # density evals both scale with bin count. Gated by the 30k-step
+        # equal-protocol A/B at the reference operating point (PARITY.md):
+        # (96, 32) reached 25.12 all-images PSNR vs 24.90 for (128, 48) at
+        # up to 1.58M sustained rays/s — equal-or-better on BOTH axes.
+        num_proposal_samples_per_ray=(96, 32),
         # mip-NeRF 360 sampling semantics: detach the PDF resample so
         # proposal nets train only via the interlevel loss. Deletes the
         # sampler backward + all field position-gradients (~1.5x step)
