@@ -87,7 +87,7 @@ def main():
         max_res=64,
         base_res=4,
         hidden_dim=128,
-        num_proposal_samples_per_ray=(128, 48),
+        num_proposal_samples_per_ray=(96, 32),
         stop_grad_sampling=True,
         compute_dtype="bfloat16" if jax.default_backend() != "cpu" else "float32",
         use_depth=not args.no_depth,

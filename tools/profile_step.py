@@ -54,11 +54,11 @@ def main():
     B = args.batch
     dm = SyntheticDataManager(num_cameras=8, h=64, w=64, rays_per_batch=B)
     # defaults = the FLAGSHIP operating point (methods.nerfacto_tpu_method):
-    # tri basis, (128, 48) proposals, detached resampling — so un-overridden
+    # tri basis, (96, 32) proposals, detached resampling — so un-overridden
     # runs time the same model the headline bench/CLAUDE.md numbers describe
     flagship = dict(
         fourier_basis="tri", max_res=64, base_res=4, hidden_dim=128,
-        num_proposal_samples_per_ray=(128, 48), stop_grad_sampling=True,
+        num_proposal_samples_per_ray=(96, 32), stop_grad_sampling=True,
     ) if args.field == "fourier" else {}
     cfg = nerfacto.NerfactoConfig(
         num_images=8,
