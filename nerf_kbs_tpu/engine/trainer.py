@@ -77,7 +77,8 @@ class TrainerConfig:
     # — bit-identical f32), int32 pixel indices / tiny label ids as int16,
     # {0,1} masks as uint8. 28 -> ~13 bytes/ray at the flagship point; the
     # codec per key is decided (and its exactness verified) on the first
-    # dispatch. Decoded at the top of the scan body.
+    # dispatch. Decoded once for the whole dispatch in a batched pre-scan
+    # call (scan_steps), dtype-driven.
     # None = auto: ON multi-process (the per-host feed crosses DCN, where
     # bytes/ray is the wall), OFF single-process — measured single-chip the
     # on-device decode costs MORE than the saved transfer (device scan

@@ -60,7 +60,12 @@ def ws_accept_key(client_key: str) -> str:
 
 
 def ws_send_frame(sock, payload: bytes, opcode: int) -> None:
-    """One unfragmented, unmasked server->client frame (FIN set)."""
+    """One unfragmented, unmasked server->client frame (FIN set).
+
+    Sends under its own generous timeout: the caller keeps a short recv
+    timeout for idle polling, but a large PNG frame to a slow client can
+    legitimately block sendall for seconds — inheriting the 0.5 s poll
+    timeout would raise mid-send and kill the session."""
     head = bytes([0x80 | opcode])
     n = len(payload)
     if n < 126:
@@ -69,7 +74,40 @@ def ws_send_frame(sock, payload: bytes, opcode: int) -> None:
         head += bytes([126]) + struct.pack(">H", n)
     else:
         head += bytes([127]) + struct.pack(">Q", n)
-    sock.sendall(head + payload)
+    prev = sock.gettimeout()
+    sock.settimeout(30.0)
+    try:
+        sock.sendall(head + payload)
+    finally:
+        try:
+            sock.settimeout(prev)
+        except OSError:
+            pass
+
+
+class _BufferedSocket:
+    """Socket facade serving bytes the HTTP handler's BufferedReader had
+    already consumed (a client may pipeline its first WS frame with the
+    upgrade request in one TCP segment) before reading the real socket."""
+
+    def __init__(self, sock, initial: bytes = b""):
+        self._sock = sock
+        self._initial = initial
+
+    def recv(self, n: int) -> bytes:
+        if self._initial:
+            out, self._initial = self._initial[:n], self._initial[n:]
+            return out
+        return self._sock.recv(n)
+
+    def sendall(self, data) -> None:
+        return self._sock.sendall(data)
+
+    def settimeout(self, t) -> None:
+        return self._sock.settimeout(t)
+
+    def gettimeout(self):
+        return self._sock.gettimeout()
 
 
 def _read_exact(sock, n: int):
@@ -97,11 +135,12 @@ def _read_exact(sock, n: int):
 
 
 def ws_recv_frame(sock):
-    """Receive one frame -> (opcode, payload). None on EOF; propagates
+    """Receive one frame -> (opcode, payload, fin). None on EOF; propagates
     TimeoutError when the connection is idle (no frame started)."""
     hdr = _read_exact(sock, 2)
     if hdr is None:
         return None
+    fin = bool(hdr[0] & 0x80)
     opcode = hdr[0] & 0x0F
     masked = bool(hdr[1] & 0x80)
     n = hdr[1] & 0x7F
@@ -125,7 +164,7 @@ def ws_recv_frame(sock):
         return None
     if masked and n:
         payload = bytes(c ^ mask[i & 3] for i, c in enumerate(payload))
-    return opcode, payload
+    return opcode, payload, fin
 
 _PAGE = """<!doctype html><html><head><title>nerf-kbs-tpu viewer</title></head>
 <body style="font-family:monospace;background:#111;color:#ddd">
@@ -147,7 +186,7 @@ _PAGE = """<!doctype html><html><head><title>nerf-kbs-tpu viewer</title></head>
 // updates radius; at most one render request in flight, latest wins.
 // Transport: WebSocket (server pushes status on step advance; pose
 // messages out, binary PNG frames back) with plain-HTTP fallback.
-let th=0, ph=0.35, r=1.6, inflight=false, dirty=true, lastStep=-1;
+let th=0, ph=0.35, r=1.6, inflight=false, inflightSince=0, dirty=true, lastStep=-1;
 let ws=null, wsOpen=false;
 const im=document.getElementById('im');
 function poseStr(){return 'th='+th.toFixed(2)+' ph='+ph.toFixed(2)+' r='+r.toFixed(2);}
@@ -176,8 +215,11 @@ function connectWS(){
 }
 connectWS();
 async function pump(){
+  // watchdog: a pose frame the server never answers (dropped message,
+  // half-dead socket) must not freeze live rendering forever
+  if(inflight && Date.now()-inflightSince>6000){inflight=false; dirty=true;}
   if(inflight||!dirty){return;}
-  inflight=true; dirty=false;
+  inflight=true; inflightSince=Date.now(); dirty=false;
   const size=document.getElementById('size').value;
   if(wsOpen){
     ws.send(JSON.stringify({type:'pose',theta:th,phi:ph,radius:r,size:+size}));
@@ -361,10 +403,27 @@ class ViewerServer:
         handler.send_header("Sec-WebSocket-Accept", ws_accept_key(key))
         handler.end_headers()
         handler.close_connection = True  # the socket is ours now
-        sock = handler.connection
+        raw = handler.connection
+        # bytes the handler's BufferedReader consumed past the request head
+        # (a scripted client can pipeline its first frame with the upgrade):
+        # drain them non-blockingly and serve them before the socket
+        pipelined = b""
+        try:
+            raw.setblocking(False)
+            while True:
+                chunk = handler.rfile.read1(65536)
+                if not chunk:
+                    break
+                pipelined += chunk
+        except (BlockingIOError, OSError, ValueError):
+            pass
+        finally:
+            raw.setblocking(True)
+        sock = _BufferedSocket(raw, pipelined)
         # short timeout = the cadence of idle status pushes
         sock.settimeout(0.5)
         last_step = None
+        frag_op, frag_buf = None, b""  # fragmented-message reassembly
         try:
             st = self.status()
             last_step = st.get("step")
@@ -373,14 +432,19 @@ class ViewerServer:
                 try:
                     frame = ws_recv_frame(sock)
                 except (socket.timeout, TimeoutError):
-                    st = self.status()  # idle: push on step advance
-                    if st.get("step") != last_step:
+                    # idle: push status on step advance. Check the cheap
+                    # step counter first — building the full status dict
+                    # globs the eval dir and reads metrics.jsonl, which is
+                    # wasteful at 2 Hz per client
+                    step = self.trainer.step if self.trainer is not None else None
+                    if step != last_step:
+                        st = self.status()
                         last_step = st.get("step")
                         ws_send_frame(sock, json.dumps(st).encode(), 0x1)
                     continue
                 if frame is None:
                     return
-                opcode, payload = frame
+                opcode, payload, fin = frame
                 if opcode == 0x8:  # close: echo and finish
                     try:
                         ws_send_frame(sock, payload[:2], 0x8)
@@ -390,7 +454,18 @@ class ViewerServer:
                 if opcode == 0x9:  # ping -> pong
                     ws_send_frame(sock, payload, 0xA)
                     continue
-                if opcode != 0x1:  # ignore binary/pong/continuation
+                if opcode == 0x0:  # continuation of a fragmented message
+                    if frag_op is None:
+                        continue  # stray continuation: drop
+                    frag_buf += payload
+                    if not fin:
+                        continue
+                    opcode, payload = frag_op, frag_buf
+                    frag_op, frag_buf = None, b""
+                elif not fin:  # first fragment: buffer and keep reading
+                    frag_op, frag_buf = opcode, payload
+                    continue
+                if opcode != 0x1:  # ignore binary/pong
                     continue
                 try:
                     msg = json.loads(payload.decode())

@@ -247,11 +247,13 @@ def test_scanned_dispatch_matches_per_step(tmp_path):
 
 
 def test_scanned_dispatch_hoisted_rays_close(tmp_path):
-    """The default hoisted-ray scan dispatch trains the same trajectory up
-    to fp noise: per-dispatch batched generate_rays perturbs directions by
-    ~1 ulp (size-dependent codegen), equivalent to infinitesimal ray
-    jitter. Guards that the hoist wires the RIGHT rays to the RIGHT step
-    (an off-by-one in the scan xs would blow far past this tolerance)."""
+    """The OPT-IN hoisted-ray scan dispatch (hoist_ray_generation=True;
+    default is off — measured slower on v5e, see TrainerConfig) trains the
+    same trajectory up to fp noise: per-dispatch batched generate_rays
+    perturbs directions by ~1 ulp (size-dependent codegen), equivalent to
+    infinitesimal ray jitter. Guards that the hoist wires the RIGHT rays
+    to the RIGHT step (an off-by-one in the scan xs would blow far past
+    this tolerance)."""
     from jax.flatten_util import ravel_pytree
 
     t1 = make_trainer(tmp_path / "a", steps_per_dispatch=4)

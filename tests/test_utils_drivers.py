@@ -229,9 +229,83 @@ def test_viewer_websocket(tmp_path):
         op, payload = recv_frame()
         assert op == 0xA and payload == b"hi"
 
+        # fragmented pose message: text start (FIN=0) + continuation (FIN=1)
+        # must be reassembled and answered (RFC 6455 §5.4)
+        pose = json.dumps({"type": "pose", "theta": 1.1, "size": 16}).encode()
+        mask = b"\x01\x02\x03\x04"
+        s.sendall(bytes([0x01, 0x80 | 7]) + mask
+                  + bytes(c ^ mask[i & 3] for i, c in enumerate(pose[:7])))
+        s.sendall(bytes([0x80, 0x80 | len(pose[7:])]) + mask
+                  + bytes(c ^ mask[i & 3] for i, c in enumerate(pose[7:])))
+        op, payload = recv_frame()
+        assert op == 0x2 and payload[:4] == b"\x89PNG"
+
         send_masked(struct.pack(">H", 1000), opcode=0x8)
         op, payload = recv_frame()
         assert op == 0x8 and payload == struct.pack(">H", 1000)
+    finally:
+        if s is not None:
+            s.close()
+        srv.shutdown()
+
+
+def test_viewer_websocket_pipelined_upgrade(tmp_path):
+    """A scripted client that pipelines its first masked frame in the SAME
+    TCP segment as the upgrade request must still get an answer: the
+    handler's BufferedReader consumes those bytes while reading headers,
+    and the WS session has to drain them (viewer._BufferedSocket)."""
+    import base64
+    import json
+    import socket
+    import struct
+
+    from nerf_kbs_tpu.engine.viewer import ViewerServer
+
+    tr = _tiny_viewer_trainer(tmp_path)
+    srv = ViewerServer(tr, eval_image_dir=str(tr.out_dir / "eval_images"), port=0)
+    port = srv._server.server_address[1]
+    srv.start_background()
+    s = None
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=240)
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        pose = json.dumps({"type": "pose", "theta": 0.5, "size": 16}).encode()
+        mask = b"\x05\x06\x07\x08"
+        frame = (bytes([0x81, 0x80 | len(pose)]) + mask
+                 + bytes(c ^ mask[i & 3] for i, c in enumerate(pose)))
+        s.sendall(
+            (f"GET /ws HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+             "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+             f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+             ).encode() + frame)
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += s.recv(4096)
+        _head, leftover = resp.split(b"\r\n\r\n", 1)
+        buf = bytearray(leftover)
+
+        def read_exact(n):
+            while len(buf) < n:
+                chunk = s.recv(65536)
+                assert chunk, "server closed mid-frame"
+                buf.extend(chunk)
+            out = bytes(buf[:n])
+            del buf[:n]
+            return out
+
+        def recv_frame():
+            hdr = read_exact(2)
+            opcode, n = hdr[0] & 0x0F, hdr[1] & 0x7F
+            if n == 126:
+                n = struct.unpack(">H", read_exact(2))[0]
+            elif n == 127:
+                n = struct.unpack(">Q", read_exact(8))[0]
+            return opcode, read_exact(n)
+
+        op, _ = recv_frame()  # initial status push
+        assert op == 0x1
+        op, payload = recv_frame()  # answer to the pipelined pose
+        assert op == 0x2 and payload[:4] == b"\x89PNG"
     finally:
         if s is not None:
             s.close()

@@ -16,11 +16,12 @@ if [ "$VPID" != "0" ]; then
   while kill -0 "$VPID" 2>/dev/null; do sleep 30; done
 fi
 
-# 1. dispatch profile: hoisted (new default) vs in-scan (old program)
-timeout 2400 python tools/profile_dispatch.py --dispatches 8 --no-depth \
+# 1. dispatch profile: hoisted (opt-in --hoist) vs in-scan (the default)
+# (flag updated after 72332d0 flipped the default: hoist measured slower)
+timeout 2400 python tools/profile_dispatch.py --dispatches 8 --no-depth --hoist \
   > /tmp/profdisp_hoist.log 2>&1
 echo PD_HOIST_EXIT=$?
-timeout 2400 python tools/profile_dispatch.py --dispatches 8 --no-depth --no-hoist \
+timeout 2400 python tools/profile_dispatch.py --dispatches 8 --no-depth \
   > /tmp/profdisp_nohoist.log 2>&1
 echo PD_NOHOIST_EXIT=$?
 
