@@ -38,4 +38,21 @@ echo N32_EXIT=$?
 timeout 1200 python tools/profile_dispatch.py --dispatches 6 --batch 32768 > /tmp/profdisp_32k.log 2>&1
 echo DISP32K_EXIT=$?
 
-echo QUEUE_N_DONE
+echo QUEUE_N_DONE  # (core items)
+
+# 6-7. FALLBACK reruns: if queue M's segmenter/inpaint scale-ups timed out
+# (1-CPU container contention), rerun them with bigger budgets.
+if ! grep -q "SEG2_EXIT=0" /tmp/queue_m.log 2>/dev/null; then
+  timeout 9000 python tools/train_segmenter.py --scenes 48 --eval-scenes 6 \
+    --frames 5 --steps 5000 --out outputs/segmenter2 \
+    > /tmp/segmenter2b.log 2>&1
+  echo SEG2B_EXIT=$?
+fi
+if ! grep -q "INPAINT2_EXIT=0" /tmp/queue_m.log 2>/dev/null; then
+  timeout 10800 python tools/validate_inpaint.py --clips 8 --size 224 --steps 5000 \
+    --frames 24 --heldout-scene --out outputs/inpaint_scaled2 \
+    > /tmp/inpaint_scaled2b.log 2>&1
+  echo INPAINT2B_EXIT=$?
+fi
+
+echo QUEUE_N_ALL_DONE
