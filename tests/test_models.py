@@ -433,3 +433,31 @@ def test_semantic_nerfw_use_mask_masks_rgb_loss():
     a = float(semantic_nerfw.loss(cfg_nm, out, {"image": gt, "mask": mask})[0])
     b = float(semantic_nerfw.loss(cfg_nm, out, {"image": gt_moving, "mask": mask})[0])
     assert b > a + 1.0
+
+
+def test_nerfacto_single_proposal_round():
+    """num_proposal_iterations=1 is a supported operating point (queue-P
+    perf arm): one pdf round, one proposal net, interlevel loss over a
+    single level; grads must reach the lone proposal net."""
+    cfg = dataclasses.replace(
+        TINY,
+        num_proposal_iterations=1,
+        num_proposal_samples_per_ray=(16,),
+        proposal_max_res=(64,),
+        stop_grad_sampling=True,
+    )
+    params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+    assert len(params["proposal_networks"]) == 1
+    rays = make_rays(8)
+    out = nerfacto.forward(params, cfg, rays, key=jax.random.PRNGKey(1), step=100)
+    assert out["weights"].shape == (8, cfg.num_nerf_samples_per_ray)
+    assert "prop_depth_0" in out and "prop_depth_1" not in out
+    batch = {"image": jnp.full((8, 3), 0.3)}
+
+    def loss_fn(p):
+        o = nerfacto.forward(p, cfg, rays, key=jax.random.PRNGKey(2), step=500)
+        return nerfacto.loss(cfg, o, batch)[0]
+
+    g = jax.grad(loss_fn)(params)
+    assert float(jnp.abs(g["proposal_networks"][0]["hash_table"]).sum()) > 0
+    assert float(jnp.abs(g["fields"]["rgb_mlp"]["w"][0]).sum()) > 0
