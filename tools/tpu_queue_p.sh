@@ -44,6 +44,20 @@ timeout 10800 python tools/validate_inpaint.py --clips 8 --size 224 --steps 5000
   > /tmp/inpaint_scaled2.log 2>&1
 echo INPAINT2_EXIT=$?
 
+# restore the PARITY-cited v30k-aabb2 evidence (metrics.jsonl lost to the
+# container wipe before it was committed): identical flags to queue K's run
+timeout 9000 python train_nerf.py \
+  --dataparser.data_dir outputs/vkitti_syn \
+  --datamanager.train_num_rays_per_batch 4096 \
+  --trainer.steps_per_dispatch 25 --trainer.max_num_iterations 30000 \
+  --trainer.steps_per_eval_image 3000 --trainer.steps_per_eval_batch 3000 \
+  --trainer.steps_per_eval_all_images 10000 --trainer.steps_per_save 10000 \
+  --trainer.log_every 1000 \
+  --model.enable_temporal_distortion false \
+  --trainer.output_dir outputs/r3vanilla --trainer.experiment_name v30k-aabb2 \
+  > /tmp/vanilla30k_aabb2.log 2>&1
+echo VANILLA_AABB2_EXIT=$?
+
 timeout 9000 python train_nerf.py \
   --dataparser.data_dir outputs/vkitti_syn \
   --datamanager.train_num_rays_per_batch 4096 \
