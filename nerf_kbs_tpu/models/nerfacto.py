@@ -87,6 +87,14 @@ class NerfactoConfig:
     proposal_max_res: Tuple[int, ...] = (128, 256)
     proposal_initial_sampler: str = "piecewise"
     interlevel_loss_mult: float = 1.0
+    # compute the interlevel loss on only the first `fraction` of the ray
+    # batch. Rays are i.i.d. uniform pixel samples, so a static-shape prefix
+    # is an unbiased subsample; the loss is a mean, so the scale is
+    # unchanged. Under stop_grad_sampling the interlevel term is the
+    # proposal nets' ONLY gradient, but it is also 3.2 ms of the 11.8 ms
+    # flagship step (27%, profile_step @16k): fraction 0.25 still
+    # supervises 4096 rays/step and reclaims ~2.4 ms.
+    interlevel_ray_fraction: float = 1.0
     distortion_loss_mult: float = 0.002
     orientation_loss_mult: float = 0.0001
     pred_normal_loss_mult: float = 0.001
@@ -444,8 +452,16 @@ def loss(
         # zero-mult losses are skipped entirely (not just scaled): the
         # interlevel loss alone traverses O(R*S*Q) mask volumes
         if cfg.interlevel_loss_mult > 0:
+            il_args = (
+                outputs["ray_samples"],
+                outputs["weights"],
+                outputs["proposal_history"],
+            )
+            if cfg.interlevel_ray_fraction < 1.0:
+                n = max(1, int(gt.shape[0] * cfg.interlevel_ray_fraction))
+                il_args = jax.tree_util.tree_map(lambda x: x[:n], il_args)
             losses["interlevel_loss"] = cfg.interlevel_loss_mult * L.interlevel_loss(
-                outputs["ray_samples"], outputs["weights"], outputs["proposal_history"]
+                *il_args
             )
         if cfg.distortion_loss_mult > 0:
             losses["distortion_loss"] = cfg.distortion_loss_mult * L.distortion_loss(

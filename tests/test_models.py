@@ -461,3 +461,48 @@ def test_nerfacto_single_proposal_round():
     g = jax.grad(loss_fn)(params)
     assert float(jnp.abs(g["proposal_networks"][0]["hash_table"]).sum()) > 0
     assert float(jnp.abs(g["fields"]["rgb_mlp"]["w"][0]).sum()) > 0
+
+
+def test_interlevel_ray_fraction_unbiased_prefix():
+    """interlevel_ray_fraction subsamples the (i.i.d.) ray batch with a
+    static prefix: fraction 1.0 is bit-identical to the default, and
+    fraction 0.5 must equal computing the full interlevel loss on the
+    first half of the batch by hand; proposal nets still get gradient."""
+    params = nerfacto.init(jax.random.PRNGKey(0), TINY)
+    rays = make_rays(16)
+    out = nerfacto.forward(params, TINY, rays, key=jax.random.PRNGKey(1), step=100)
+    batch = {"image": jnp.full((16, 3), 0.4)}
+
+    cfg_full = dataclasses.replace(TINY, interlevel_ray_fraction=1.0)
+    cfg_half = dataclasses.replace(TINY, interlevel_ray_fraction=0.5)
+    _, m_def = nerfacto.loss(TINY, out, batch)
+    _, m_full = nerfacto.loss(cfg_full, out, batch)
+    _, m_half = nerfacto.loss(cfg_half, out, batch)
+    assert float(m_full["interlevel_loss"]) == float(m_def["interlevel_loss"])
+
+    # hand-built half-batch oracle
+    half = jax.tree_util.tree_map(
+        lambda x: x[:8],
+        (out["ray_samples"], out["weights"], out["proposal_history"]),
+    )
+    from nerf_kbs_tpu.ops import losses as L
+
+    oracle = float(L.interlevel_loss(*half))
+    assert abs(float(m_half["interlevel_loss"]) - oracle) < 1e-6
+    assert np.isfinite(float(m_half["interlevel_loss"]))
+
+    # proposal nets must still receive gradient through the subsampled term
+    cfg_sg = dataclasses.replace(
+        TINY, interlevel_ray_fraction=0.5, stop_grad_sampling=True
+    )
+
+    def loss_fn(p):
+        o = nerfacto.forward(p, cfg_sg, rays, key=jax.random.PRNGKey(2), step=500)
+        return nerfacto.loss(cfg_sg, o, batch)[0]
+
+    g = jax.grad(loss_fn)(params)
+    # the hinge max(0, w - w_outer) can be legitimately inactive for one
+    # level on a tiny random model at 8 rays; the mechanism check is that
+    # gradient reaches the proposal group at all under stop_grad_sampling
+    total = sum(float(jnp.abs(pn["hash_table"]).sum()) for pn in g["proposal_networks"])
+    assert total > 0
