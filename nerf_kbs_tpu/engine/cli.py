@@ -214,10 +214,19 @@ def build_trainer(spec: MethodSpec) -> Trainer:
     n_train = len(dm.train_cameras)
     if hasattr(model_cfg, "num_images") and model_cfg.num_images != n_train:
         model_cfg = dataclasses.replace(model_cfg, num_images=n_train)
-    if getattr(model_cfg, "use_semantic", False) and getattr(dm, "semantics", None):
-        model_cfg = dataclasses.replace(
-            model_cfg, num_semantic_classes=len(dm.semantics.classes)
-        )
+    if getattr(model_cfg, "use_semantic", False):
+        if getattr(dm, "semantics", None):
+            model_cfg = dataclasses.replace(
+                model_cfg, num_semantic_classes=len(dm.semantics.classes)
+            )
+        elif getattr(model_cfg, "num_semantic_classes", 0) <= 0:
+            # a 0-class head would create zero-size params (untrainable AND
+            # un-checkpointable: orbax refuses zero-size arrays at save time)
+            print(
+                "WARNING: use_semantic=true but the dataset provides no "
+                "semantic labels — disabling the semantic head"
+            )
+            model_cfg = dataclasses.replace(model_cfg, use_semantic=False)
     optimizers = dict(spec.optimizers)  # never mutate the (shared) spec
     if getattr(model_cfg, "camera_optimizer", "off") != "off" and "camera_opt" not in optimizers:
         optimizers["camera_opt"] = OptimizerConfig(lr=6e-4, eps=1e-8)

