@@ -213,6 +213,31 @@ def nerfacto_tpu_method() -> MethodSpec:
     return spec
 
 
+def nerfacto_tpu_fast_method() -> MethodSpec:
+    """Single-chip speed preset: the measured Pareto tail of the flagship
+    (PARITY.md sample-budget table). One proposal round (96,) + 32 nerf
+    samples trades 0.75 dB at the 30k reference operating point for the
+    fastest single-chip step (1.68M+ sustained rays/s on v5e); the
+    interlevel loss is subsampled to a quarter of the ray batch (unbiased —
+    rays are i.i.d.; the term only trains the proposal net)."""
+    spec = nerfacto_tpu_method()
+    import dataclasses
+
+    spec.model = dataclasses.replace(
+        spec.model,
+        num_proposal_samples_per_ray=(96,),
+        num_proposal_iterations=1,
+        # the single round keeps the FINE proposal resolution (it directly
+        # places the final field's samples) — matches the measured A/B arm
+        proposal_max_res=(256,),
+        num_nerf_samples_per_ray=32,
+        interlevel_ray_fraction=0.25,
+    )
+    spec.trainer = dataclasses.replace(spec.trainer, method_name="nerfacto-tpu-fast")
+    spec.description = "nerfacto-tpu speed preset (1 proposal round, 32 samples)"
+    return spec
+
+
 def synthetic_nerfacto_method() -> MethodSpec:
     spec = nerfacto_method()
     import dataclasses
@@ -245,4 +270,5 @@ register_method("nerfacto", nerfacto_method)
 register_method("nerfacto-big", nerfacto_big_method)
 register_method("semantic-nerfw", semantic_nerfw_method)
 register_method("test-nerfacto", test_nerfacto_method)
+register_method("nerfacto-tpu-fast", nerfacto_tpu_fast_method)
 register_method("synthetic-nerfacto", synthetic_nerfacto_method)

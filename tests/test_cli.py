@@ -161,3 +161,18 @@ def test_cli_live_viewer_during_training(tmp_path):
     finally:
         t.join(timeout=600)
     assert not err, err
+
+
+def test_nerfacto_tpu_fast_speed_preset():
+    """The speed preset pins the measured Pareto-tail operating point
+    (PARITY.md sample-budget table): one proposal round at the fine
+    resolution, 32 nerf samples, quarter-batch interlevel supervision."""
+    spec = method_registry["nerfacto-tpu-fast"]()
+    m = spec.model
+    assert m.num_proposal_iterations == 1
+    assert m.num_proposal_samples_per_ray == (96,)
+    assert m.proposal_max_res == (256,)
+    assert m.num_nerf_samples_per_ray == 32
+    assert m.interlevel_ray_fraction == 0.25
+    assert m.stop_grad_sampling and m.fourier_basis == "tri"
+    assert spec.trainer.method_name == "nerfacto-tpu-fast"
