@@ -56,6 +56,7 @@ def main():
         "hoist_ray_generation) — measured SLOWER on v5e (16.21 vs 15.89 "
         "ms/step: materialized rays round-trip HBM, in-scan fuses)",
     )
+    ap.add_argument("overrides", nargs="*", help="NerfactoConfig key=value")
     args = ap.parse_args()
 
     if args.platform:
@@ -80,17 +81,23 @@ def main():
     depths = rng.uniform(1.0, 80.0, (n, h, w)).astype(np.float32)
 
     # flagship operating point (methods.nerfacto_tpu_method)
-    cfg = nerfacto.NerfactoConfig(
-        num_images=n,
-        field_type="fourier",
+    sys.path.insert(0, str(Path(__file__).parent))
+    from study_field import parse_overrides
+
+    flagship = dict(
         fourier_basis="tri",
         max_res=64,
         base_res=4,
         hidden_dim=128,
         num_proposal_samples_per_ray=(96, 32),
         stop_grad_sampling=True,
+    )
+    cfg = nerfacto.NerfactoConfig(
+        num_images=n,
+        field_type="fourier",
         compute_dtype="bfloat16" if jax.default_backend() != "cpu" else "float32",
         use_depth=not args.no_depth,
+        **{**flagship, **parse_overrides(args.overrides)},
     )
     params = nerfacto.init(jax.random.PRNGKey(0), cfg)
     optimizer = build_optimizer(

@@ -1,0 +1,282 @@
+"""Camera-optimizer recovery study (functional evidence for SO3xR3).
+
+The reference wires a nerfstudio CameraOptimizer into nerfacto
+(train.py:66-69; 'SO3xR3' tangent deltas on the training cameras). This
+framework implements the same capability (NerfactoConfig.camera_optimizer,
+models/nerfacto.camera_deltas, exp_map_se3) with unit tests — this study
+records the FUNCTIONAL evidence: perturb every training pose by a known
+random rigid transform, train, and show that
+
+  (a) the optimizer recovers train/eval PSNR toward the clean-pose control,
+  (b) the learned deltas cancel the injected perturbation (pose error after
+      a global SE(3) gauge alignment drops well below the injected noise).
+
+Arms: clean (control) / perturbed+off / perturbed+SO3xR3.
+
+Methodology matches tools/study_field.py (jitted lax.scan rounds, params
+chained, value fetched per round — tunnel-safe).
+
+Usage:
+  python tools/study_camera_opt.py --steps 2000 --rot-deg 1.0 --trans 0.03
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+# repo-root import shim: `python tools/x.py` puts tools/ (not the repo
+# root) on sys.path, so nerf_kbs_tpu would not resolve without this
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def kabsch_se3(src: np.ndarray, dst: np.ndarray):
+    """Best-fit rigid transform (R, t) aligning src -> dst (N, 3 each)."""
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    H = (src - mu_s).T @ (dst - mu_d)
+    U, _, Vt = np.linalg.svd(H)
+    S = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ S @ U.T
+    t = mu_d - R @ mu_s
+    return R, t
+
+
+def pose_errors(c2w_hat: np.ndarray, c2w_true: np.ndarray):
+    """(mean rotation geodesic deg, mean center error) after removing the
+    global SE(3) gauge (Kabsch on camera centers)."""
+    C_hat, C_true = c2w_hat[:, :, 3], c2w_true[:, :, 3]
+    R_g, t_g = kabsch_se3(C_hat, C_true)
+    C_al = C_hat @ R_g.T + t_g
+    center_err = float(np.linalg.norm(C_al - C_true, axis=1).mean())
+    R_al = R_g[None] @ c2w_hat[:, :, :3]
+    R_rel = np.einsum("nij,nkj->nik", R_al, c2w_true[:, :, :3])
+    cos = np.clip((np.trace(R_rel, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    rot_err = float(np.degrees(np.arccos(cos)).mean())
+    return rot_err, center_err
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--cam-lr", type=float, default=6e-4)
+    ap.add_argument("--rot-deg", type=float, default=1.0)
+    ap.add_argument("--trans", type=float, default=0.03)
+    ap.add_argument("--img", type=int, default=128)
+    ap.add_argument("--cams", type=int, default=28)
+    ap.add_argument("--eval-cams", type=int, default=4)
+    ap.add_argument("--scan-steps", type=int, default=50)
+    ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--arms", default="clean,off,opt")
+    ap.add_argument("--platform", default=None, help="force jax platform (cpu)")
+    ap.add_argument("--out", default=None, help="write result JSON here")
+    ap.add_argument("overrides", nargs="*", help="NerfactoConfig key=value")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nerf_kbs_tpu.cameras.cameras import generate_rays
+    from nerf_kbs_tpu.cameras.transforms import compose_se3, exp_map_se3
+    from nerf_kbs_tpu.data.synthetic import SyntheticDataManager
+    from nerf_kbs_tpu.engine.optimizers import OptimizerConfig, build_optimizer
+    from nerf_kbs_tpu.models import nerfacto
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from study_field import parse_overrides
+
+    dm = SyntheticDataManager(
+        num_cameras=args.cams,
+        num_eval_cameras=args.eval_cams,
+        h=args.img,
+        w=args.img,
+        rays_per_batch=args.batch,
+    )
+    clean_cams = dm.train_cameras
+    c2w_true = np.asarray(clean_cams.c2w)
+
+    # known injected perturbation: per-camera SE(3) tangent noise
+    rng = np.random.default_rng(args.seed)
+    rot_sigma = np.radians(args.rot_deg)
+    tangent = np.concatenate(
+        [
+            rng.normal(0.0, args.trans, (args.cams, 3)),
+            rng.normal(0.0, rot_sigma, (args.cams, 3)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    pert = exp_map_se3(jnp.asarray(tangent))  # (N, 3, 4)
+    c2w_pert = compose_se3(pert, clean_cams.c2w)
+    pert_cams = dataclasses.replace(clean_cams, c2w=c2w_pert)
+    inj_rot, inj_center = pose_errors(np.asarray(c2w_pert), c2w_true)
+
+    def run_arm(name: str) -> dict:
+        perturbed = name != "clean"
+        use_opt = name == "opt"
+        train_cams = pert_cams if perturbed else clean_cams
+        flagship = dict(
+            field_type="fourier",
+            fourier_basis="tri",
+            max_res=64,
+            base_res=4,
+            hidden_dim=128,
+            num_proposal_samples_per_ray=(96, 32),
+            stop_grad_sampling=True,
+        )
+        over = parse_overrides(args.overrides)
+        if "num_proposal_samples_per_ray" in over:
+            over["num_proposal_samples_per_ray"] = tuple(
+                over["num_proposal_samples_per_ray"]
+            )
+        cfg = nerfacto.NerfactoConfig(
+            num_images=args.cams,
+            near_plane=0.05,
+            far_plane=8.0,
+            appearance_embedding_dim=0,
+            camera_optimizer="SO3xR3" if use_opt else "off",
+            compute_dtype=(
+                "bfloat16" if jax.default_backend() != "cpu" else "float32"
+            ),
+            **{**flagship, **over},
+        )
+        params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+        groups = {
+            "proposal_networks": OptimizerConfig(lr=args.lr, eps=1e-15, max_norm=1.0),
+            "fields": OptimizerConfig(lr=args.lr, eps=1e-15, max_norm=1.0),
+        }
+        if use_opt:
+            groups["camera_opt"] = OptimizerConfig(
+                lr=args.cam_lr, eps=1e-8, max_norm=1.0
+            )
+        optimizer = build_optimizer(groups, nerfacto.param_groups(params))
+        opt_state = optimizer.init(params)
+        K = args.scan_steps
+
+        @jax.jit
+        def multi_step(params, opt_state, batches, keys, step0):
+            def body(carry, xs):
+                params, opt_state, step = carry
+                batch, k = xs
+
+                def loss_fn(p):
+                    delta = nerfacto.camera_deltas(p)
+                    rays = generate_rays(
+                        train_cams, batch["ray_indices"], c2w_delta=delta
+                    )
+                    out = nerfacto.forward(p, cfg, rays, key=k, step=step, train=True)
+                    return nerfacto.loss(cfg, out, batch, train=True)
+
+                (loss, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                return (
+                    optax.apply_updates(params, updates),
+                    opt_state,
+                    step + 1.0,
+                ), (loss, m["psnr"])
+
+            (params, opt_state, _), (losses, psnrs) = jax.lax.scan(
+                body, (params, opt_state, step0), (batches, keys)
+            )
+            return params, opt_state, losses[-1], psnrs[-1]
+
+        @jax.jit
+        def render_chunk(params, ray_indices, step):
+            rays = generate_rays(dm.eval_cameras, ray_indices)
+            out = nerfacto.forward(params, cfg, rays, key=None, step=step, train=False)
+            return out["rgb"]
+
+        def eval_psnr(params, step: int) -> float:
+            h = w = args.img
+            vals = []
+            for ci in range(dm.num_eval_images()):
+                yy, xx = np.mgrid[0:h, 0:w]
+                idx = np.stack(
+                    [np.full(h * w, ci), yy.ravel(), xx.ravel()], -1
+                ).astype(np.int32)
+                preds = []
+                for i in range(0, idx.shape[0], 16384):
+                    part = idx[i : i + 16384]
+                    pad = (-part.shape[0]) % 16384
+                    if pad:
+                        part = np.concatenate([part, np.tile(part[-1:], (pad, 1))], 0)
+                    r = np.asarray(render_chunk(params, part, jnp.asarray(float(step))))
+                    preds.append(r[: idx.shape[0] - i])
+                pred = np.concatenate(preds, 0).reshape(h, w, 3)
+                gt = dm.eval_image(ci)["image"]
+                mse = float(np.mean((pred - gt) ** 2))
+                vals.append(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+            return float(np.mean(vals))
+
+        def sample_round():
+            bs = [dm.next_train(0) for _ in range(K)]
+            return {k: jnp.stack([jnp.asarray(b[k]) for b in bs]) for k in bs[0]}
+
+        key = jax.random.PRNGKey(1)
+        step, traj = 0, []
+        while step < args.steps:
+            batches = sample_round()
+            keys = jax.random.split(jax.random.fold_in(key, step), K)
+            params, opt_state, loss, tr_psnr = multi_step(
+                params, opt_state, batches, keys, jnp.asarray(float(step))
+            )
+            loss = float(loss)
+            step += K
+            if step % args.eval_every < K:
+                ep = eval_psnr(params, step)
+                traj.append((step, round(float(tr_psnr), 2), round(ep, 2)))
+                print(
+                    f"[{name}] step {step}: train={float(tr_psnr):.2f} "
+                    f"eval={ep:.2f}",
+                    flush=True,
+                )
+
+        res = {
+            "arm": name,
+            "final_train_psnr": traj[-1][1],
+            "final_eval_psnr": traj[-1][2],
+            "trajectory": traj,
+        }
+        if perturbed:
+            if use_opt:
+                delta = np.asarray(nerfacto.camera_deltas(params))
+                eff = np.asarray(compose_se3(jnp.asarray(delta), c2w_pert))
+            else:
+                eff = np.asarray(c2w_pert)
+            rot, cen = pose_errors(eff, c2w_true)
+            res["pose_rot_err_deg"] = round(rot, 4)
+            res["pose_center_err"] = round(cen, 5)
+        return res
+
+    results = {
+        "injected": {
+            "rot_deg": args.rot_deg,
+            "trans": args.trans,
+            "gauge_aligned_rot_deg": round(inj_rot, 4),
+            "gauge_aligned_center": round(inj_center, 5),
+        },
+        "arms": [run_arm(a) for a in args.arms.split(",")],
+    }
+    line = json.dumps(results)
+    print(line, flush=True)
+    if args.out:
+        out = Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
