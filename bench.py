@@ -74,6 +74,9 @@ def bench_method(
         else (256, 96),
         # flagship: mip-NeRF 360 detached resampling (methods.py nerfacto-tpu)
         stop_grad_sampling=(field_type == "fourier"),
+        # flagship: half-batch interlevel supervision (methods.py; 30k A/B
+        # quality-equal, PARITY.md interlevel-fraction table)
+        interlevel_ray_fraction=0.5 if field_type == "fourier" else 1.0,
     )
     params = nerfacto.init(jax.random.PRNGKey(0), cfg)
     optimizer = build_optimizer(

@@ -199,6 +199,12 @@ def nerfacto_tpu_method() -> MethodSpec:
         # proposal nets train only via the interlevel loss. Deletes the
         # sampler backward + all field position-gradients (~1.5x step)
         stop_grad_sampling=True,
+        # supervise the proposal hierarchy on half the (i.i.d.) ray batch:
+        # the interlevel term costs 27% of the fwd+bwd at fraction 1.0.
+        # 30k equal-protocol A/B (PARITY.md): 25.04 vs 25.12 all-images
+        # PSNR (within run noise; the 0.25 arm measurably trails at 24.94,
+        # so it lives in nerfacto-tpu-fast instead) for -0.76 ms/step
+        interlevel_ray_fraction=0.5,
     )
     # lr 1e-3 (reference optimizer point) is stable for the fourier field;
     # global-norm clipping guards the early high-frequency phase (lr >= 1e-2

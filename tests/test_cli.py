@@ -176,3 +176,15 @@ def test_nerfacto_tpu_fast_speed_preset():
     assert m.interlevel_ray_fraction == 0.25
     assert m.stop_grad_sampling and m.fourier_basis == "tri"
     assert spec.trainer.method_name == "nerfacto-tpu-fast"
+
+
+def test_nerfacto_tpu_flagship_operating_point():
+    """Pins the measured flagship (PARITY.md): tri basis, (96,32) proposals,
+    detached resampling, half-batch interlevel supervision."""
+    m = method_registry["nerfacto-tpu"]().model
+    assert m.field_type == "fourier" and m.fourier_basis == "tri"
+    assert m.num_proposal_samples_per_ray == (96, 32)
+    assert m.num_nerf_samples_per_ray == 48
+    assert m.stop_grad_sampling
+    assert m.interlevel_ray_fraction == 0.5
+    assert m.max_res == 256 and m.fourier_anneal_steps == 5000

@@ -91,6 +91,7 @@ def main():
         hidden_dim=128,
         num_proposal_samples_per_ray=(96, 32),
         stop_grad_sampling=True,
+        interlevel_ray_fraction=0.5,
     )
     cfg = nerfacto.NerfactoConfig(
         num_images=n,

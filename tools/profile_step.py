@@ -59,6 +59,7 @@ def main():
     flagship = dict(
         fourier_basis="tri", max_res=64, base_res=4, hidden_dim=128,
         num_proposal_samples_per_ray=(96, 32), stop_grad_sampling=True,
+        interlevel_ray_fraction=0.5,
     ) if args.field == "fourier" else {}
     cfg = nerfacto.NerfactoConfig(
         num_images=8,

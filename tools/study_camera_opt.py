@@ -136,6 +136,7 @@ def main() -> None:
             hidden_dim=128,
             num_proposal_samples_per_ray=(96, 32),
             stop_grad_sampling=True,
+            interlevel_ray_fraction=0.5,
         )
         over = parse_overrides(args.overrides)
         if "num_proposal_samples_per_ray" in over:
