@@ -229,7 +229,16 @@ def build_trainer(spec: MethodSpec) -> Trainer:
             model_cfg = dataclasses.replace(model_cfg, use_semantic=False)
     optimizers = dict(spec.optimizers)  # never mutate the (shared) spec
     if getattr(model_cfg, "camera_optimizer", "off") != "off" and "camera_opt" not in optimizers:
-        optimizers["camera_opt"] = OptimizerConfig(lr=6e-4, eps=1e-8)
+        # nerfstudio camera-optimizer point: Adam 6e-4 decaying to 6e-6 over
+        # the run. A CONSTANT 6e-4 measurably diverges (pose drift 10x the
+        # injected noise on the recovery study, tools/study_camera_opt.py) —
+        # pose registration needs the late-training lr floor.
+        optimizers["camera_opt"] = OptimizerConfig(
+            lr=6e-4,
+            eps=1e-8,
+            lr_final=6e-6,
+            max_steps=spec.trainer.max_num_iterations,
+        )
     if spec.trainer.mixed_precision and hasattr(model_cfg, "compute_dtype"):
         import jax
 

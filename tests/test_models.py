@@ -564,3 +564,63 @@ def test_semantic_head_rejects_zero_classes():
     cfg = dataclasses.replace(TINY, use_semantic=True, num_semantic_classes=0)
     with pytest.raises(ValueError, match="num_semantic_classes"):
         nerfacto.init(jax.random.PRNGKey(0), cfg)
+
+
+def test_camera_opt_deltas_can_cancel_known_perturbation():
+    """Mechanism check for the SO3xR3 chain (exp_map_se3 -> c2w compose ->
+    generate_rays): gradient descent on ONLY the camera deltas must cancel a
+    known injected pose perturbation when supervised with the clean rays.
+    Separates 'the machinery is differentiable and correctly signed' from
+    the joint field+pose conditioning studied in tools/study_camera_opt.py."""
+    import optax
+
+    from nerf_kbs_tpu.cameras.cameras import Cameras, generate_rays
+    from nerf_kbs_tpu.cameras.transforms import compose_se3, exp_map_se3
+
+    n = 3
+    rng = np.random.default_rng(0)
+    # simple look-at-ish cameras
+    c2w = np.tile(np.eye(3, 4, dtype=np.float32), (n, 1, 1))
+    c2w[:, :, 3] = rng.normal(0, 1.0, (n, 3))
+    cams = Cameras(
+        fx=jnp.full((n,), 50.0), fy=jnp.full((n,), 50.0),
+        cx=jnp.full((n,), 16.0), cy=jnp.full((n,), 16.0),
+        c2w=jnp.asarray(c2w),
+        width=jnp.full((n,), 32, jnp.int32), height=jnp.full((n,), 32, jnp.int32),
+    )
+    tangent = jnp.asarray(
+        np.concatenate(
+            [rng.normal(0, 0.05, (n, 3)), rng.normal(0, 0.03, (n, 3))], axis=1
+        ).astype(np.float32)
+    )
+    pert_cams = dataclasses.replace(
+        cams, c2w=compose_se3(exp_map_se3(tangent), cams.c2w)
+    )
+    idx = jnp.asarray(
+        np.stack(
+            [rng.integers(0, n, 256), rng.integers(0, 32, 256), rng.integers(0, 32, 256)],
+            axis=1,
+        ).astype(np.int32)
+    )
+    target = generate_rays(cams, idx)
+
+    def loss_fn(p):
+        rays = generate_rays(pert_cams, idx, c2w_delta=exp_map_se3(p))
+        return jnp.mean((rays.origins - target.origins) ** 2) + jnp.mean(
+            (rays.directions - target.directions) ** 2
+        )
+
+    params = jnp.zeros((n, 6))
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    l0 = float(loss_fn(params))
+
+    @jax.jit
+    def step(params, state):
+        l, g = jax.value_and_grad(loss_fn)(params)
+        up, state = opt.update(g, state)
+        return optax.apply_updates(params, up), state, l
+
+    for _ in range(400):
+        params, state, l = step(params, state)
+    assert float(l) < 1e-6 * l0, (l0, float(l))

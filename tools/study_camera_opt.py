@@ -68,6 +68,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--cam-lr", type=float, default=6e-4)
+    ap.add_argument("--cam-lr-final", type=float, default=6e-6)
+    ap.add_argument("--cam-warmup", type=int, default=0)
     ap.add_argument("--rot-deg", type=float, default=1.0)
     ap.add_argument("--trans", type=float, default=0.03)
     ap.add_argument("--img", type=int, default=128)
@@ -161,7 +163,12 @@ def main() -> None:
         }
         if use_opt:
             groups["camera_opt"] = OptimizerConfig(
-                lr=args.cam_lr, eps=1e-8, max_norm=1.0
+                lr=args.cam_lr,
+                eps=1e-8,
+                max_norm=1.0,
+                lr_final=args.cam_lr_final,
+                max_steps=args.steps,
+                warmup_steps=args.cam_warmup,
             )
         optimizer = build_optimizer(groups, nerfacto.param_groups(params))
         opt_state = optimizer.init(params)
