@@ -624,3 +624,58 @@ def test_camera_opt_deltas_can_cancel_known_perturbation():
     for _ in range(400):
         params, state, l = step(params, state)
     assert float(l) < 1e-6 * l0, (l0, float(l))
+
+
+def test_camera_opt_grads_fused_matches_xla(monkeypatch):
+    """Pose gradients THROUGH the fused Pallas field (need_dx path) must
+    match the XLA reference path: a wrong sign/scale here would silently
+    drift the camera optimizer (tools/study_camera_opt.py protocol)."""
+    from nerf_kbs_tpu.cameras.cameras import Cameras, generate_rays
+
+    cfg = nerfacto.NerfactoConfig(
+        num_images=3,
+        field_type="fourier",
+        fourier_basis="tri",
+        fourier_num_levels=3,
+        num_proposal_samples_per_ray=(16, 8),
+        num_nerf_samples_per_ray=8,
+        proposal_num_levels=3,
+        proposal_max_res=(32, 64),
+        hidden_dim=16,
+        hidden_dim_color=16,
+        appearance_embedding_dim=0,
+        camera_optimizer="SO3xR3",
+        stop_grad_sampling=True,
+    )
+    params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+    n = 3
+    rng = np.random.default_rng(0)
+    c2w = np.tile(np.eye(3, 4, dtype=np.float32), (n, 1, 1))
+    c2w[:, :, 3] = rng.normal(0, 0.5, (n, 3))
+    cams = Cameras(
+        fx=jnp.full((n,), 50.0), fy=jnp.full((n,), 50.0),
+        cx=jnp.full((n,), 16.0), cy=jnp.full((n,), 16.0),
+        c2w=jnp.asarray(c2w),
+        width=jnp.full((n,), 32, jnp.int32), height=jnp.full((n,), 32, jnp.int32),
+    )
+    idx = jnp.asarray(
+        np.stack(
+            [rng.integers(0, n, 8), rng.integers(0, 32, 8), rng.integers(0, 32, 8)],
+            axis=1,
+        ).astype(np.int32)
+    )
+    batch = {"image": jnp.full((8, 3), 0.4)}
+
+    def loss_fn(p):
+        rays = generate_rays(cams, idx, c2w_delta=nerfacto.camera_deltas(p))
+        o = nerfacto.forward(p, cfg, rays, key=jax.random.PRNGKey(2), step=500)
+        return nerfacto.loss(cfg, o, batch)[0]
+
+    monkeypatch.setenv("NKT_FUSED", "0")
+    g_xla = jax.grad(loss_fn)(params)["camera_opt"]
+    monkeypatch.setenv("NKT_FUSED", "1")  # interpret-mode kernels on CPU
+    g_fused = jax.grad(loss_fn)(params)["camera_opt"]
+    assert float(jnp.abs(g_xla).max()) > 1e-5  # gradients actually flow
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_xla), atol=1e-6, rtol=1e-4
+    )
