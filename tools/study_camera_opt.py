@@ -145,15 +145,15 @@ def main() -> None:
             over["num_proposal_samples_per_ray"] = tuple(
                 over["num_proposal_samples_per_ray"]
             )
+        flagship["compute_dtype"] = (
+            "bfloat16" if jax.default_backend() != "cpu" else "float32"
+        )
         cfg = nerfacto.NerfactoConfig(
             num_images=args.cams,
             near_plane=0.05,
             far_plane=8.0,
             appearance_embedding_dim=0,
             camera_optimizer="SO3xR3" if use_opt else "off",
-            compute_dtype=(
-                "bfloat16" if jax.default_backend() != "cpu" else "float32"
-            ),
             **{**flagship, **over},
         )
         params = nerfacto.init(jax.random.PRNGKey(0), cfg)
