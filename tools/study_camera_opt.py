@@ -77,6 +77,10 @@ def main() -> None:
     ap.add_argument("--eval-cams", type=int, default=4)
     ap.add_argument("--scan-steps", type=int, default=50)
     ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument(
+        "--frozen-steps", type=int, default=0,
+        help="camera-only phase length for the 'frozen' arm (0 = --steps)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--arms", default="clean,off,opt")
     ap.add_argument("--platform", default=None, help="force jax platform (cpu)")
@@ -126,10 +130,7 @@ def main() -> None:
     pert_cams = dataclasses.replace(clean_cams, c2w=c2w_pert)
     inj_rot, inj_center = pose_errors(np.asarray(c2w_pert), c2w_true)
 
-    def run_arm(name: str) -> dict:
-        perturbed = name != "clean"
-        use_opt = name == "opt"
-        train_cams = pert_cams if perturbed else clean_cams
+    def make_cfg(camera_optimizer: str):
         flagship = dict(
             field_type="fourier",
             fourier_basis="tri",
@@ -148,32 +149,26 @@ def main() -> None:
         flagship["compute_dtype"] = (
             "bfloat16" if jax.default_backend() != "cpu" else "float32"
         )
-        cfg = nerfacto.NerfactoConfig(
+        return nerfacto.NerfactoConfig(
             num_images=args.cams,
             near_plane=0.05,
             far_plane=8.0,
             appearance_embedding_dim=0,
-            camera_optimizer="SO3xR3" if use_opt else "off",
+            camera_optimizer=camera_optimizer,
             **{**flagship, **over},
         )
-        params = nerfacto.init(jax.random.PRNGKey(0), cfg)
-        groups = {
-            "proposal_networks": OptimizerConfig(lr=args.lr, eps=1e-15, max_norm=1.0),
-            "fields": OptimizerConfig(lr=args.lr, eps=1e-15, max_norm=1.0),
-        }
-        if use_opt:
-            groups["camera_opt"] = OptimizerConfig(
-                lr=args.cam_lr,
-                eps=1e-8,
-                max_norm=1.0,
-                lr_final=args.cam_lr_final,
-                max_steps=args.steps,
-                warmup_steps=args.cam_warmup,
-            )
-        optimizer = build_optimizer(groups, nerfacto.param_groups(params))
-        opt_state = optimizer.init(params)
-        K = args.scan_steps
 
+    def cam_opt_config(max_steps: int) -> OptimizerConfig:
+        return OptimizerConfig(
+            lr=args.cam_lr,
+            eps=1e-8,
+            max_norm=1.0,
+            lr_final=args.cam_lr_final,
+            max_steps=max_steps,
+            warmup_steps=args.cam_warmup,
+        )
+
+    def make_step_fns(cfg, train_cams, optimizer):
         @jax.jit
         def multi_step(params, opt_state, batches, keys, step0):
             def body(carry, xs):
@@ -207,6 +202,12 @@ def main() -> None:
             out = nerfacto.forward(params, cfg, rays, key=None, step=step, train=False)
             return out["rgb"]
 
+        return multi_step, render_chunk
+
+    def run_phase(name, multi_step, render_chunk, params, opt_state,
+                  steps, step0=0):
+        K = args.scan_steps
+
         def eval_psnr(params, step: int) -> float:
             h = w = args.img
             vals = []
@@ -235,23 +236,51 @@ def main() -> None:
 
         key = jax.random.PRNGKey(1)
         step, traj = 0, []
-        while step < args.steps:
+        while step < steps:
             batches = sample_round()
-            keys = jax.random.split(jax.random.fold_in(key, step), K)
+            keys = jax.random.split(jax.random.fold_in(key, step0 + step), K)
             params, opt_state, loss, tr_psnr = multi_step(
-                params, opt_state, batches, keys, jnp.asarray(float(step))
+                params, opt_state, batches, keys, jnp.asarray(float(step0 + step))
             )
-            loss = float(loss)
             step += K
             if step % args.eval_every < K:
-                ep = eval_psnr(params, step)
-                traj.append((step, round(float(tr_psnr), 2), round(ep, 2)))
+                ep = eval_psnr(params, step0 + step)
+                traj.append((step0 + step, round(float(tr_psnr), 2), round(ep, 2)))
                 print(
-                    f"[{name}] step {step}: train={float(tr_psnr):.2f} "
+                    f"[{name}] step {step0 + step}: train={float(tr_psnr):.2f} "
                     f"eval={ep:.2f}",
                     flush=True,
                 )
+        return params, traj
 
+    def field_groups():
+        return {
+            "proposal_networks": OptimizerConfig(lr=args.lr, eps=1e-15, max_norm=1.0),
+            "fields": OptimizerConfig(lr=args.lr, eps=1e-15, max_norm=1.0),
+        }
+
+    def opt_pose_errors(params) -> tuple:
+        delta = np.asarray(nerfacto.camera_deltas(params))
+        eff = np.asarray(compose_se3(jnp.asarray(delta), c2w_pert))
+        return pose_errors(eff, c2w_true)
+
+    def run_arm(name: str) -> dict:
+        if name == "frozen":
+            return run_frozen_arm()
+        perturbed = name != "clean"
+        use_opt = name == "opt"
+        train_cams = pert_cams if perturbed else clean_cams
+        cfg = make_cfg("SO3xR3" if use_opt else "off")
+        params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+        groups = field_groups()
+        if use_opt:
+            groups["camera_opt"] = cam_opt_config(args.steps)
+        optimizer = build_optimizer(groups, nerfacto.param_groups(params))
+        multi_step, render_chunk = make_step_fns(cfg, train_cams, optimizer)
+        params, traj = run_phase(
+            name, multi_step, render_chunk, params, optimizer.init(params),
+            args.steps,
+        )
         res = {
             "arm": name,
             "final_train_psnr": traj[-1][1],
@@ -260,14 +289,54 @@ def main() -> None:
         }
         if perturbed:
             if use_opt:
-                delta = np.asarray(nerfacto.camera_deltas(params))
-                eff = np.asarray(compose_se3(jnp.asarray(delta), c2w_pert))
+                rot, cen = opt_pose_errors(params)
             else:
-                eff = np.asarray(c2w_pert)
-            rot, cen = pose_errors(eff, c2w_true)
+                rot, cen = pose_errors(np.asarray(c2w_pert), c2w_true)
             res["pose_rot_err_deg"] = round(rot, 4)
             res["pose_center_err"] = round(cen, 5)
         return res
+
+    def run_frozen_arm() -> dict:
+        """Two-phase functional check of the photometric pose gradient:
+        (1) train the field on CLEAN poses, (2) freeze it (lr=0 groups),
+        swap in the PERTURBED cameras, and optimize ONLY the SO3xR3 deltas
+        against the same GT images. Isolates 'can the photometric gradient
+        recover pose through the full fused forward' from the joint
+        field+pose conditioning the off/opt arms measure."""
+        cfg_off = make_cfg("off")
+        params = nerfacto.init(jax.random.PRNGKey(0), cfg_off)
+        opt1 = build_optimizer(field_groups(), nerfacto.param_groups(params))
+        ms1, rc1 = make_step_fns(cfg_off, clean_cams, opt1)
+        params, traj1 = run_phase(
+            "frozen/pretrain", ms1, rc1, params, opt1.init(params), args.steps
+        )
+
+        cfg_opt = make_cfg("SO3xR3")
+        cam0 = nerfacto.init(jax.random.PRNGKey(0), cfg_opt)["camera_opt"]
+        params = {**params, "camera_opt": cam0}
+        frozen_steps = args.frozen_steps or args.steps
+        groups2 = {
+            "proposal_networks": OptimizerConfig(lr=0.0),
+            "fields": OptimizerConfig(lr=0.0),
+            "camera_opt": cam_opt_config(frozen_steps),
+        }
+        opt2 = build_optimizer(groups2, nerfacto.param_groups(params))
+        ms2, rc2 = make_step_fns(cfg_opt, pert_cams, opt2)
+        params, traj2 = run_phase(
+            "frozen/camera-only", ms2, rc2, params, opt2.init(params),
+            frozen_steps, step0=args.steps,
+        )
+        rot, cen = opt_pose_errors(params)
+        return {
+            "arm": "frozen",
+            "pretrain_final_train_psnr": traj1[-1][1],
+            "final_train_psnr": traj2[-1][1],
+            "final_eval_psnr": traj2[-1][2],
+            "pretrain_trajectory": traj1,
+            "trajectory": traj2,
+            "pose_rot_err_deg": round(rot, 4),
+            "pose_center_err": round(cen, 5),
+        }
 
     results = {
         "injected": {
