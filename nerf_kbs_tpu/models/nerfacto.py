@@ -134,6 +134,15 @@ class NerfactoConfig:
     # disable it, train.py:66-69) or 'SO3xR3' (6-DoF tangent deltas applied to
     # c2w at ray generation; see cameras.transforms.exp_map_se3)
     camera_optimizer: str = "off"
+    # L2 regularizers on the pose tangents (nerfstudio CameraOptimizerConfig
+    # trans/rot_l2_penalty semantics). Without them the deltas random-walk
+    # under Adam's scale-free updates whenever the per-step photometric pose
+    # signal is weaker than gradient noise (measured: +3.5 deg rotation drift
+    # at 3k steps on the synthetic study, tools/study_camera_opt.py). Squared
+    # norms rather than nerfstudio's bare norm: differentiable at the zero
+    # init.
+    camera_opt_trans_penalty: float = 1e-2
+    camera_opt_rot_penalty: float = 1e-3
 
     @property
     def field(self) -> NerfactoFieldConfig:
@@ -425,6 +434,9 @@ def forward(
         outputs[f"prop_depth_{i}"] = R.render_median_depth(pw, ps)
     outputs["_view_dirs"] = rays.directions
     outputs["_origins"] = rays.origins
+    if train and "camera_opt" in params:
+        # raw (N, 6) tangents for the loss-side L2 regularizer
+        outputs["_camera_opt_tangent"] = params["camera_opt"]
     return outputs
 
 
@@ -466,6 +478,17 @@ def loss(
         if cfg.distortion_loss_mult > 0:
             losses["distortion_loss"] = cfg.distortion_loss_mult * L.distortion_loss(
                 outputs["ray_samples"], outputs["weights"]
+            )
+        if "_camera_opt_tangent" in outputs and (
+            cfg.camera_opt_trans_penalty > 0 or cfg.camera_opt_rot_penalty > 0
+        ):
+            # nerfstudio camera_opt_regularizer: damp the pose tangents so
+            # they move only on systematic photometric signal (see the
+            # config-field comment for the measured drift this prevents)
+            t = outputs["_camera_opt_tangent"]
+            losses["camera_opt_regularizer"] = (
+                cfg.camera_opt_trans_penalty * jnp.mean(jnp.sum(t[:, :3] ** 2, -1))
+                + cfg.camera_opt_rot_penalty * jnp.mean(jnp.sum(t[:, 3:] ** 2, -1))
             )
         if cfg.predict_normals and "_sample_normals" in outputs:
             losses["orientation_loss"] = cfg.orientation_loss_mult * L.orientation_loss(

@@ -189,6 +189,15 @@ def loss(cfg: SemanticNerfWConfig, outputs: dict, batch: dict, train: bool = Tru
         losses["distortion_loss"] = cfg.distortion_loss_mult * L.distortion_loss(
             outputs["ray_samples"], outputs["weights"]
         )
+        if "_camera_opt_tangent" in outputs and (
+            cfg.camera_opt_trans_penalty > 0 or cfg.camera_opt_rot_penalty > 0
+        ):
+            # same nerfstudio-style pose-tangent damping as nerfacto.loss
+            t = outputs["_camera_opt_tangent"]
+            losses["camera_opt_regularizer"] = (
+                cfg.camera_opt_trans_penalty * jnp.mean(jnp.sum(t[:, :3] ** 2, -1))
+                + cfg.camera_opt_rot_penalty * jnp.mean(jnp.sum(t[:, 3:] ** 2, -1))
+            )
     if train and "uncertainty" in outputs:
         betas = outputs["uncertainty"]
         losses["uncertainty_loss"] = 3.0 + jnp.mean(jnp.log(betas))

@@ -216,6 +216,64 @@ def test_camera_optimizer_group_and_grads():
     assert float(jnp.abs(g["camera_opt"]).sum()) > 0
 
 
+def test_camera_opt_l2_regularizer():
+    """The nerfstudio-style tangent L2 penalty must appear in the train loss
+    when the optimizer is on, pull a nonzero tangent toward zero, and vanish
+    at eval / when the optimizer is off (tools/study_camera_opt.py measured a
+    +3.5 deg unregularized Adam random-walk this term exists to damp)."""
+    import dataclasses
+
+    from nerf_kbs_tpu.cameras.cameras import Cameras, generate_rays
+
+    cfg = dataclasses.replace(TINY, camera_optimizer="SO3xR3")
+    params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+    tangent = jnp.full((3, 6), 0.02)
+    params = {**params, "camera_opt": tangent}
+    cams = Cameras(
+        fx=jnp.full((3,), 30.0), fy=jnp.full((3,), 30.0),
+        cx=jnp.full((3,), 8.0), cy=jnp.full((3,), 8.0),
+        c2w=jnp.tile(jnp.eye(4)[:3][None], (3, 1, 1)),
+        width=jnp.full((3,), 16, jnp.int32), height=jnp.full((3,), 16, jnp.int32),
+    )
+    idx = jnp.zeros((8, 3), jnp.int32).at[:, 1].set(jnp.arange(8))
+    batch = {"image": jnp.full((8, 3), 0.5)}
+
+    def run(p, train):
+        rays = generate_rays(cams, idx, c2w_delta=nerfacto.camera_deltas(p))
+        out = nerfacto.forward(p, cfg, rays, key=jax.random.PRNGKey(1), train=train)
+        return nerfacto.loss(cfg, out, batch, train=train)
+
+    _, metrics = run(params, train=True)
+    expected = cfg.camera_opt_trans_penalty * 3 * 0.02**2 + (
+        cfg.camera_opt_rot_penalty * 3 * 0.02**2
+    )
+    np.testing.assert_allclose(
+        float(metrics["camera_opt_regularizer"]), expected, rtol=1e-5
+    )
+    # eval path carries no regularizer (and no tangent output)
+    _, eval_metrics = run(params, train=False)
+    assert "camera_opt_regularizer" not in eval_metrics
+
+    # the penalty's own gradient points back toward zero: with photometric
+    # signal removed (penalty-only difference of grads at two scales), the
+    # tangent gradient grows linearly with the tangent
+    def total(p):
+        return run(p, train=True)[0]
+
+    g = jax.grad(total)(params)["camera_opt"]
+    g0 = jax.grad(total)({**params, "camera_opt": jnp.zeros((3, 6))})["camera_opt"]
+    trans_slope = np.asarray(g - g0)[:, :3].mean() / 0.02
+    assert trans_slope > 0  # restoring force toward zero
+
+    # optimizer off -> no regularizer key
+    cfg_off = dataclasses.replace(TINY, camera_optimizer="off")
+    p_off = nerfacto.init(jax.random.PRNGKey(0), cfg_off)
+    rays = generate_rays(cams, idx)
+    out = nerfacto.forward(p_off, cfg_off, rays, key=jax.random.PRNGKey(1))
+    _, m_off = nerfacto.loss(cfg_off, out, batch)
+    assert "camera_opt_regularizer" not in m_off
+
+
 def test_stop_grad_sampling_forward_identical_and_grads_flow():
     """stop_grad_sampling detaches resampling (mip-NeRF 360 semantics): the
     forward pass is bit-identical, and proposal nets still receive gradient
