@@ -81,8 +81,22 @@ def main() -> None:
         "--frozen-steps", type=int, default=0,
         help="camera-only phase length for the 'frozen' arm (0 = --steps)",
     )
+    ap.add_argument(
+        "--frozen-reanneal", type=int, default=0,
+        help="BARF-style coarse-to-fine for the frozen arm's camera-only "
+        "phase: restart it at step 0 with this fourier_anneal_steps (the "
+        "narrowed window blurs the frozen render, widening the photometric "
+        "basin past the injected pixel misalignment)",
+    )
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--arms", default="clean,off,opt")
+    ap.add_argument(
+        "--arms", default="clean,off,opt",
+        help="comma list of clean/off/opt/frozen/probe ('probe' sweeps the "
+        "photometric loss along the TRUE correction line exp(-s*tangent), "
+        "s in [0, 1.25], through a frozen clean-pose field: s=1 must match "
+        "the clean loss or the delta application path is broken, and the "
+        "curve between is the basin the optimizer must descend)",
+    )
     ap.add_argument("--platform", default=None, help="force jax platform (cpu)")
     ap.add_argument("--out", default=None, help="write result JSON here")
     ap.add_argument("overrides", nargs="*", help="NerfactoConfig key=value")
@@ -259,14 +273,52 @@ def main() -> None:
             "fields": OptimizerConfig(lr=args.lr, eps=1e-15, max_norm=1.0),
         }
 
+    def reproj_px_err(c2w_hat: np.ndarray) -> float:
+        """Mean pixel displacement of scene-volume points projected through
+        the hat vs TRUE cameras — the photometrically VISIBLE pose error.
+
+        Tangent/geodesic norms (pose_errors) overweight invisible components
+        (along-ray translation, rotation/translation trades at scene depth);
+        this is the error the photometric gradient can actually see."""
+        rng_p = np.random.default_rng(7)
+        P = rng_p.uniform(-1.0, 1.0, (512, 3))
+        fx = float(np.asarray(clean_cams.fx)[0])
+        fy = float(np.asarray(clean_cams.fy)[0])
+        cx = float(np.asarray(clean_cams.cx)[0])
+        cy = float(np.asarray(clean_cams.cy)[0])
+
+        def project(c2w):
+            R, C = c2w[:, :, :3], c2w[:, :, 3]
+            v = np.einsum("nji,npj->npi", R, P[None] - C[:, None])  # R^T (P-C)
+            z = -v[..., 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                px = cx + fx * v[..., 0] / z
+                py = cy - fy * v[..., 1] / z
+            return px, py, z
+
+        px_h, py_h, z_h = project(c2w_hat)
+        px_t, py_t, z_t = project(np.asarray(c2w_true))
+        valid = (
+            (z_t > 0.1) & (z_h > 0.1)
+            & (px_t >= 0) & (px_t < args.img)
+            & (py_t >= 0) & (py_t < args.img)
+        )
+        if not valid.any():
+            return float("nan")
+        d = np.sqrt((px_h - px_t) ** 2 + (py_h - py_t) ** 2)
+        return float(d[valid].mean())
+
     def opt_pose_errors(params) -> tuple:
         delta = np.asarray(nerfacto.camera_deltas(params))
         eff = np.asarray(compose_se3(jnp.asarray(delta), c2w_pert))
-        return pose_errors(eff, c2w_true)
+        rot, cen = pose_errors(eff, c2w_true)
+        return rot, cen, reproj_px_err(eff)
 
     def run_arm(name: str) -> dict:
         if name == "frozen":
             return run_frozen_arm()
+        if name == "probe":
+            return run_probe_arm()
         perturbed = name != "clean"
         use_opt = name == "opt"
         train_cams = pert_cams if perturbed else clean_cams
@@ -289,11 +341,13 @@ def main() -> None:
         }
         if perturbed:
             if use_opt:
-                rot, cen = opt_pose_errors(params)
+                rot, cen, reproj = opt_pose_errors(params)
             else:
                 rot, cen = pose_errors(np.asarray(c2w_pert), c2w_true)
+                reproj = reproj_px_err(np.asarray(c2w_pert))
             res["pose_rot_err_deg"] = round(rot, 4)
             res["pose_center_err"] = round(cen, 5)
+            res["reproj_px_err"] = round(reproj, 4)
         return res
 
     def run_frozen_arm() -> dict:
@@ -312,9 +366,15 @@ def main() -> None:
         )
 
         cfg_opt = make_cfg("SO3xR3")
+        frozen_steps = args.frozen_steps or args.steps
+        step0 = args.steps
+        if args.frozen_reanneal:
+            cfg_opt = dataclasses.replace(
+                cfg_opt, fourier_anneal_steps=args.frozen_reanneal
+            )
+            step0 = 0  # window re-opens over the camera-only phase
         cam0 = nerfacto.init(jax.random.PRNGKey(0), cfg_opt)["camera_opt"]
         params = {**params, "camera_opt": cam0}
-        frozen_steps = args.frozen_steps or args.steps
         groups2 = {
             "proposal_networks": OptimizerConfig(lr=0.0),
             "fields": OptimizerConfig(lr=0.0),
@@ -324,11 +384,16 @@ def main() -> None:
         ms2, rc2 = make_step_fns(cfg_opt, pert_cams, opt2)
         params, traj2 = run_phase(
             "frozen/camera-only", ms2, rc2, params, opt2.init(params),
-            frozen_steps, step0=args.steps,
+            frozen_steps, step0=step0,
         )
-        rot, cen = opt_pose_errors(params)
+        rot, cen, reproj = opt_pose_errors(params)
         return {
             "arm": "frozen",
+            "reanneal": args.frozen_reanneal,
+            "reproj_px_err": round(reproj, 4),
+            "injected_reproj_px_err": round(
+                reproj_px_err(np.asarray(c2w_pert)), 4
+            ),
             "pretrain_final_train_psnr": traj1[-1][1],
             "final_train_psnr": traj2[-1][1],
             "final_eval_psnr": traj2[-1][2],
@@ -336,6 +401,88 @@ def main() -> None:
             "trajectory": traj2,
             "pose_rot_err_deg": round(rot, 4),
             "pose_center_err": round(cen, 5),
+        }
+
+    def run_probe_arm() -> dict:
+        """Line probe of the photometric landscape along the TRUE correction.
+
+        Pretrain the field on CLEAN poses, freeze it, then evaluate the
+        training PSNR on a fixed large ray batch with camera deltas
+        exp(-s * tangent) for s in [0, 1.25]: s=0 is the raw injected
+        misalignment, s=1 composes to EXACTLY the clean poses (so its PSNR
+        must match the clean-pose PSNR or the delta application path has a
+        bug), and the curve between is the basin gradient descent must walk.
+        Also reports the cosine between the analytic descent direction
+        -dL/dtangent at s=0 and the ideal step -tangent, per camera."""
+        cfg_off = make_cfg("off")
+        params = nerfacto.init(jax.random.PRNGKey(0), cfg_off)
+        opt1 = build_optimizer(field_groups(), nerfacto.param_groups(params))
+        ms1, rc1 = make_step_fns(cfg_off, clean_cams, opt1)
+        params, traj1 = run_phase(
+            "probe/pretrain", ms1, rc1, params, opt1.init(params), args.steps
+        )
+
+        cfg_opt = make_cfg("SO3xR3")
+        bs = [dm.next_train(i) for i in range(8)]
+        batch = {
+            k: jnp.concatenate([jnp.asarray(b[k]) for b in bs]) for k in bs[0]
+        }
+        tan = jnp.asarray(tangent)
+        step = jnp.asarray(float(args.steps))
+
+        @jax.jit
+        def probe_psnr(params, s):
+            delta = exp_map_se3(-s * tan)
+            rays = generate_rays(pert_cams, batch["ray_indices"], c2w_delta=delta)
+            out = nerfacto.forward(params, cfg_opt, rays, key=None, step=step,
+                                   train=False)
+            mse = jnp.mean((out["rgb"] - batch["image"]) ** 2)
+            return -10.0 * jnp.log10(mse)
+
+        @jax.jit
+        def clean_psnr(params):
+            rays = generate_rays(clean_cams, batch["ray_indices"])
+            out = nerfacto.forward(params, cfg_off, rays, key=None, step=step,
+                                   train=False)
+            mse = jnp.mean((out["rgb"] - batch["image"]) ** 2)
+            return -10.0 * jnp.log10(mse)
+
+        @jax.jit
+        def tangent_grad(params):
+            def f(t6):
+                delta = exp_map_se3(t6)
+                rays = generate_rays(
+                    pert_cams, batch["ray_indices"], c2w_delta=delta
+                )
+                out = nerfacto.forward(params, cfg_opt, rays, key=None,
+                                       step=step, train=False)
+                return jnp.mean((out["rgb"] - batch["image"]) ** 2)
+
+            return jax.grad(f)(jnp.zeros_like(tan))
+
+        scales = [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0, 1.125, 1.25]
+        curve = [
+            [s, round(float(probe_psnr(params, jnp.asarray(s, jnp.float32))), 3)]
+            for s in scales
+        ]
+        g = np.asarray(tangent_grad(params), np.float64)
+        ideal = -tangent.astype(np.float64)
+        num = np.sum(-g * ideal, axis=1)
+        den = (
+            np.linalg.norm(g, axis=1) * np.linalg.norm(ideal, axis=1) + 1e-30
+        )
+        per_cam_cos = num / den
+        return {
+            "arm": "probe",
+            "pretrain_final_train_psnr": traj1[-1][1],
+            "pretrain_final_eval_psnr": traj1[-1][2],
+            "clean_pose_probe_psnr": round(float(clean_psnr(params)), 3),
+            "injected_reproj_px_err": round(
+                reproj_px_err(np.asarray(c2w_pert)), 4
+            ),
+            "line_probe": curve,
+            "grad_cos_mean": round(float(per_cam_cos.mean()), 4),
+            "grad_cos_per_cam": [round(float(c), 3) for c in per_cam_cos],
         }
 
     results = {
