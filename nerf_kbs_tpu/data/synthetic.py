@@ -133,8 +133,11 @@ class SyntheticDataManager:
         self.train_cameras = self.train_outputs.cameras()
         self.eval_cameras = self.eval_outputs.cameras()
         self.rays_per_batch = rays_per_batch
+        # NOTE: next_train is seeded by ITS STEP ARGUMENT (below) — there is
+        # deliberately no internal rng state: callers that pass a constant
+        # step get the SAME batch every call (a caller bug that silently
+        # contaminated the study tools once; see tools/study_field.py).
         self._seed = seed
-        self._rng = np.random.default_rng(seed)
         self.semantics = None
 
     def next_train(self, step: int) -> dict:

@@ -218,9 +218,19 @@ def main() -> None:
 
         return multi_step, render_chunk
 
+    phase_counter = [0]
+
     def run_phase(name, multi_step, render_chunk, params, opt_state,
                   steps, step0=0):
         K = args.scan_steps
+        # next_train is seeded BY ITS STEP ARGUMENT (data/synthetic.py):
+        # every batch needs a distinct step or the phase trains on one
+        # frozen batch (runs between 2026-08-18 and this fix did exactly
+        # that — memorization inflated train PSNR and starved the pose
+        # gradient). Distinct per-phase streams keep the frozen arm's
+        # camera-only phase from replaying its pretrain batches.
+        stream = 1_000_000 * phase_counter[0]
+        phase_counter[0] += 1
 
         def eval_psnr(params, step: int) -> float:
             h = w = args.img
@@ -244,14 +254,14 @@ def main() -> None:
                 vals.append(10.0 * np.log10(1.0 / max(mse, 1e-12)))
             return float(np.mean(vals))
 
-        def sample_round():
-            bs = [dm.next_train(0) for _ in range(K)]
+        def sample_round(s0: int):
+            bs = [dm.next_train(stream + s0 + i) for i in range(K)]
             return {k: jnp.stack([jnp.asarray(b[k]) for b in bs]) for k in bs[0]}
 
         key = jax.random.PRNGKey(1)
         step, traj = 0, []
         while step < steps:
-            batches = sample_round()
+            batches = sample_round(step)
             keys = jax.random.split(jax.random.fold_in(key, step0 + step), K)
             params, opt_state, loss, tr_psnr = multi_step(
                 params, opt_state, batches, keys, jnp.asarray(float(step0 + step))

@@ -161,9 +161,14 @@ def main() -> None:
             vals.append(10.0 * np.log10(1.0 / max(mse, 1e-12)))
         return float(np.mean(vals))
 
-    def sample_round():
-        # batch randomness comes from the data manager's internal rng
-        bs = [dm.next_train(0) for _ in range(K)]
+    def sample_round(step0: int):
+        # next_train is seeded BY ITS STEP ARGUMENT (checkpoint-resume
+        # replay, data/synthetic.py): every batch must get a distinct step
+        # or the whole run trains on one frozen 4096-ray batch. (This
+        # silently regressed when next_train moved from internal-rng to
+        # per-step seeding; runs between 2026-08-18 and the fix trained on
+        # a single batch.)
+        bs = [dm.next_train(step0 + i) for i in range(K)]
         return {
             k: jnp.stack([jnp.asarray(b[k]) for b in bs]) for k in bs[0]
         }
@@ -174,14 +179,14 @@ def main() -> None:
     rays_done = 0
     step = 0
     # warmup compile
-    wb = sample_round()
+    wb = sample_round(10_000_000)  # warmup: outside the training stream
     wk = jax.random.split(jax.random.fold_in(key, 999), K)
     p_w, o_w, l, _ = multi_step(params, opt_state, wb, wk, jnp.asarray(0.0))
     jax.block_until_ready(l)
     del p_w, o_w
 
     while step < args.steps:
-        batches = sample_round()
+        batches = sample_round(step)
         keys = jax.random.split(jax.random.fold_in(key, step), K)
         t0 = time.perf_counter()
         params, opt_state, loss, tr_psnr = multi_step(
