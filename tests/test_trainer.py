@@ -322,3 +322,22 @@ def test_camera_overrides_and_ring_view():
         to_center = center - p[:3, 3]
         cos = fwd @ to_center / np.linalg.norm(to_center)
         assert cos > 0.99
+
+
+def test_batch_streams_are_distinct_per_step():
+    """next_train is seeded by its step argument: distinct steps MUST give
+    distinct batches, identical steps identical batches (resume replay).
+    Guards the single-frozen-batch failure mode: a caller passing a constant
+    step (the pre-dc138e9 study tools) silently trains every step on one
+    batch — memorized train PSNR, garbage pose/eval gradients."""
+    from nerf_kbs_tpu.data.datamanager import InMemoryDataManager
+
+    sdm = SyntheticDataManager(num_cameras=4, h=16, w=16, rays_per_batch=128)
+    a, b, a2 = sdm.next_train(0), sdm.next_train(1), sdm.next_train(0)
+    assert not np.array_equal(a["ray_indices"], b["ray_indices"])
+    assert np.array_equal(a["ray_indices"], a2["ray_indices"])
+
+    # the real Trainer's scanned dispatch feeds step-distinct batches
+    stacked_rows = [sdm.next_train(7 + i)["ray_indices"] for i in range(4)]
+    for i in range(1, 4):
+        assert not np.array_equal(stacked_rows[0], stacked_rows[i])
