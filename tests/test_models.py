@@ -737,3 +737,91 @@ def test_camera_opt_grads_fused_matches_xla(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_fused), np.asarray(g_xla), atol=1e-6, rtol=1e-4
     )
+
+
+def test_camera_opt_photometric_gradient_points_at_true_correction():
+    """Miniature of tools/study_camera_opt.py's landscape probe: pretrain a
+    tiny fourier field on clean poses, perturb the cameras by a known SE(3)
+    tangent, and check (a) the loss along exp(-s * tangent) is lowest at the
+    true correction (s=1) and (b) the analytic descent direction at s=0 has
+    positive mean cosine with the ideal step. Guards the delta-application
+    convention (generate_rays composes delta . c2w) and the pose-gradient
+    path through need_dx (reference capability: nerfstudio CameraOptimizer,
+    train.py:66-69)."""
+    from nerf_kbs_tpu.cameras.cameras import generate_rays
+    from nerf_kbs_tpu.cameras.transforms import compose_se3, exp_map_se3
+    from nerf_kbs_tpu.data.synthetic import SyntheticDataManager
+    from nerf_kbs_tpu.engine.optimizers import OptimizerConfig, build_optimizer
+
+    dm = SyntheticDataManager(num_cameras=5, num_eval_cameras=1, h=24, w=24,
+                              rays_per_batch=256)
+    cfg = nerfacto.NerfactoConfig(
+        num_images=5, near_plane=0.05, far_plane=8.0,
+        appearance_embedding_dim=0, field_type="fourier",
+        fourier_basis="tri", max_res=32, base_res=4, fourier_num_levels=6,
+        hidden_dim=32, hidden_dim_color=32,
+        num_proposal_samples_per_ray=(24, 12), num_nerf_samples_per_ray=12,
+        stop_grad_sampling=True, fourier_anneal_steps=60,
+        camera_optimizer="SO3xR3",
+    )
+    params = nerfacto.init(jax.random.PRNGKey(0), cfg)
+    opt = build_optimizer(
+        {
+            "proposal_networks": OptimizerConfig(lr=1e-3, eps=1e-15, max_norm=1.0),
+            "fields": OptimizerConfig(lr=1e-3, eps=1e-15, max_norm=1.0),
+            "camera_opt": OptimizerConfig(lr=0.0),
+        },
+        nerfacto.param_groups(params),
+    )
+    state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, state, batch, key, step):
+        def loss_fn(p):
+            rays = generate_rays(dm.train_cameras, batch["ray_indices"])
+            out = nerfacto.forward(p, cfg, rays, key=key, step=step, train=True)
+            return nerfacto.loss(cfg, out, batch, train=True)
+
+        (_, _), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, state = opt.update(g, state, params)
+        return optax.apply_updates(params, up), state
+
+    key = jax.random.PRNGKey(1)
+    for i in range(200):
+        batch = {k: jnp.asarray(v) for k, v in dm.next_train(i).items()}
+        params, state = step_fn(params, state, batch,
+                                jax.random.fold_in(key, i),
+                                jnp.asarray(float(i)))
+
+    rng = np.random.default_rng(3)
+    tangent = np.concatenate(
+        [rng.normal(0, 0.02, (5, 3)), rng.normal(0, np.radians(1.0), (5, 3))],
+        axis=1,
+    ).astype(np.float32)
+    pert_c2w = compose_se3(exp_map_se3(jnp.asarray(tangent)),
+                           dm.train_cameras.c2w)
+    pert_cams = dataclasses.replace(dm.train_cameras, c2w=pert_c2w)
+
+    bs = [dm.next_train(1000 + i) for i in range(4)]
+    batch = {k: jnp.concatenate([jnp.asarray(b[k]) for b in bs]) for k in bs[0]}
+    step = jnp.asarray(200.0)
+
+    def mse_at(t6):
+        rays = generate_rays(pert_cams, batch["ray_indices"],
+                             c2w_delta=exp_map_se3(t6))
+        out = nerfacto.forward(params, cfg, rays, key=None, step=step,
+                               train=False)
+        return jnp.mean((out["rgb"] - batch["image"]) ** 2)
+
+    tan = jnp.asarray(tangent)
+    losses = [float(mse_at(-s * tan)) for s in (0.0, 0.5, 1.0, 1.5)]
+    assert losses[2] < losses[0], f"true correction not lower: {losses}"
+    assert losses[2] < losses[3], f"no minimum at s=1: {losses}"
+
+    g = np.asarray(jax.grad(mse_at)(jnp.zeros_like(tan)), np.float64)
+    assert np.abs(g).sum() > 0, "pose gradient is identically zero"
+    ideal = -tangent.astype(np.float64)
+    cos = np.sum(-g * ideal, 1) / (
+        np.linalg.norm(g, axis=1) * np.linalg.norm(ideal, axis=1) + 1e-30
+    )
+    assert cos.mean() > 0.1, f"descent direction misaligned: {cos}"
