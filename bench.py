@@ -58,26 +58,34 @@ def bench_method(
     from nerf_kbs_tpu.engine.optimizers import OptimizerConfig, build_optimizer
     from nerf_kbs_tpu.models import nerfacto
 
-    cfg = nerfacto.NerfactoConfig(
-        num_images=32,
-        field_type=field_type,
-        hidden_dim=128 if field_type == "fourier" else 64,
-        compute_dtype="bfloat16" if on_tpu else "float32",
-        # flagship operating point (methods.nerfacto_tpu_method): triangle
-        # basis + halved proposal budget — measured better PSNR AND
-        # throughput than sincos (PARITY.md study table)
-        fourier_basis="tri" if field_type == "fourier" else "sincos",
-        max_res=64 if field_type == "fourier" else 2048,
-        base_res=4 if field_type == "fourier" else 16,
-        num_proposal_samples_per_ray=(96, 32)
-        if field_type == "fourier"
-        else (256, 96),
-        # flagship: mip-NeRF 360 detached resampling (methods.py nerfacto-tpu)
-        stop_grad_sampling=(field_type == "fourier"),
-        # flagship: half-batch interlevel supervision (methods.py; 30k A/B
-        # quality-equal, PARITY.md interlevel-fraction table)
-        interlevel_ray_fraction=0.5 if field_type == "fourier" else 1.0,
-    )
+    if field_type == "fourier":
+        # flagship operating point DERIVED from the registry
+        # (methods.nerfacto_tpu_method) so a flagship flip (basis, proposal
+        # budget, depth, sampling semantics) can never desynchronize the
+        # driver metric from the shipped model. Only the fourier max_res is
+        # bench-local: frequencies above the scene sampling density are a
+        # quality (not cost) knob and the bench scene is analytic.
+        from nerf_kbs_tpu.methods import nerfacto_tpu_method
+
+        cfg = dataclasses.replace(
+            nerfacto_tpu_method().model,
+            num_images=32,
+            compute_dtype="bfloat16" if on_tpu else "float32",
+            max_res=64,
+            base_res=4,
+        )
+    else:
+        cfg = nerfacto.NerfactoConfig(
+            num_images=32,
+            field_type=field_type,
+            hidden_dim=64,
+            compute_dtype="bfloat16" if on_tpu else "float32",
+            fourier_basis="sincos",
+            max_res=2048,
+            base_res=16,
+            num_proposal_samples_per_ray=(256, 96),
+            interlevel_ray_fraction=1.0,
+        )
     params = nerfacto.init(jax.random.PRNGKey(0), cfg)
     optimizer = build_optimizer(
         {
@@ -168,16 +176,14 @@ def bench_render(batch_size: int, steps: int, on_tpu: bool, inner: int = 20) -> 
     from nerf_kbs_tpu.data.synthetic import orbit_cameras
     from nerf_kbs_tpu.models import nerfacto
 
-    cfg = nerfacto.NerfactoConfig(
+    from nerf_kbs_tpu.methods import nerfacto_tpu_method
+
+    cfg = dataclasses.replace(
+        nerfacto_tpu_method().model,
         num_images=32,
-        field_type="fourier",
-        hidden_dim=128,
         compute_dtype="bfloat16" if on_tpu else "float32",
-        fourier_basis="tri",
         max_res=64,
         base_res=4,
-        num_proposal_samples_per_ray=(96, 32),
-        stop_grad_sampling=True,
     )
     params = nerfacto.init(jax.random.PRNGKey(0), cfg)
     cameras = DataparserOutputs(

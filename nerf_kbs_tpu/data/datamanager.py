@@ -72,8 +72,6 @@ class InMemoryDataManager:
         self.eval_outputs = eval_outputs
         self.train_cameras = train_outputs.cameras()
         self.eval_cameras = eval_outputs.cameras()
-        self._rng = np.random.default_rng(self.config.seed)
-
         self.train_assets = self._load_split(train_outputs)
         self.eval_assets = self._load_split(eval_outputs)
         self.semantics = train_outputs.semantics
@@ -174,9 +172,13 @@ class InMemoryDataManager:
         a = self.eval_assets
         n, h, w = a["images"].shape[:3]
         b = self.config.eval_num_rays_per_batch
-        cam = self._rng.integers(0, n, b)
-        row = self._rng.integers(0, h, b)
-        col = self._rng.integers(0, w, b)
+        # seeded by the step argument (like next_train): eval-batch PSNR at
+        # step S must be computed on the same rays whether the run got there
+        # directly or through a checkpoint resume
+        rng = np.random.default_rng(self.config.seed * 2_000_003 + step)
+        cam = rng.integers(0, n, b)
+        row = rng.integers(0, h, b)
+        col = rng.integers(0, w, b)
         return {
             "ray_indices": np.stack([cam, row, col], -1).astype(np.int32),
             "image": a["images"][cam, row, col].astype(np.float32) / 255.0,

@@ -449,6 +449,9 @@ class Trainer:
         idx = np.concatenate([idx, np.tile(idx[-1:], (pad, 1))], 0) if pad else idx
         outs: dict[str, list] = {}
         step = jnp.asarray(self.step, jnp.float32)
+        # fetched ONCE per render, not per chunk: multi-host this
+        # device_puts the whole param pytree (trivial single-host)
+        p_l, cams_l = self._local_render_state(cameras)
         for i in range(0, idx.shape[0], chunk):
             part = shard_batch(self._local_mesh, {"ray_indices": idx[i : i + chunk]})
             # Live-viewer renders run concurrently with training dispatches
@@ -462,7 +465,6 @@ class Trainer:
             deadline = time.monotonic() + 60.0
             while True:
                 try:
-                    p_l, cams_l = self._local_render_state(cameras)
                     res = self._render_chunk(
                         p_l, cams_l, part["ray_indices"], step
                     )
@@ -473,6 +475,7 @@ class Trainer:
                             or time.monotonic() > deadline):
                         raise
                     time.sleep(0.1)
+                    p_l, cams_l = self._local_render_state(cameras)
             for k, v in res.items():
                 outs.setdefault(k, []).append(v)
         return {

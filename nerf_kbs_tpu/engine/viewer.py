@@ -134,9 +134,16 @@ def _read_exact(sock, n: int):
     return buf
 
 
+# Largest client->server frame we accept. Inbound traffic is small JSON
+# pose/status messages; anything bigger is a hostile or desynced peer and
+# must fail the session instead of buffering gigabytes in _read_exact.
+WS_MAX_FRAME = 1 << 20
+
+
 def ws_recv_frame(sock):
-    """Receive one frame -> (opcode, payload, fin). None on EOF; propagates
-    TimeoutError when the connection is idle (no frame started)."""
+    """Receive one frame -> (opcode, payload, fin). None on EOF / oversized
+    frame; propagates TimeoutError when the connection is idle (no frame
+    started)."""
     hdr = _read_exact(sock, 2)
     if hdr is None:
         return None
@@ -154,6 +161,8 @@ def ws_recv_frame(sock):
         if ext is None:
             return None
         n = struct.unpack(">Q", ext)[0]
+    if n > WS_MAX_FRAME:
+        return None
     mask = b"\x00" * 4
     if masked:  # client->server frames are always masked (RFC 6455 §5.1)
         mask = _read_exact(sock, 4)

@@ -221,3 +221,10 @@ def test_in_memory_datamanager(tmp_path):
     ev = dm.eval_image(0)
     assert ev["image"].shape == (8, 16, 3)
     assert dm.num_eval_images() == 1
+    # eval batches are seeded by their step argument (like next_train):
+    # a checkpoint-resumed run must evaluate the same rays at the same step
+    b1 = dm.next_eval_batch(500)
+    b2 = dm.next_eval_batch(500)
+    np.testing.assert_array_equal(b1["ray_indices"], b2["ray_indices"])
+    b3 = dm.next_eval_batch(501)
+    assert not np.array_equal(b1["ray_indices"], b3["ray_indices"])

@@ -249,6 +249,37 @@ def test_viewer_websocket(tmp_path):
         srv.shutdown()
 
 
+def test_ws_recv_frame_rejects_oversized():
+    """A client frame claiming a payload beyond WS_MAX_FRAME must end the
+    session (return None) WITHOUT buffering the payload — inbound traffic
+    is small JSON, so a huge length is a hostile or desynced peer."""
+    import struct
+
+    from nerf_kbs_tpu.engine.viewer import WS_MAX_FRAME, ws_recv_frame
+
+    class Stub:
+        def __init__(self, data):
+            self.data = data
+
+        def recv(self, n):
+            out, self.data = self.data[:n], self.data[n:]
+            return out
+
+    # masked binary frame header claiming a 1 TiB payload, then 1 KiB of it
+    hdr = bytes([0x82, 0x80 | 127]) + struct.pack(">Q", 1 << 40) + b"\x00" * 4
+    stub = Stub(hdr + b"x" * 1024)
+    assert ws_recv_frame(stub) is None
+    # rejection happens straight after the length field: the 4 mask bytes
+    # and the payload are left unread, nothing was buffered
+    assert len(stub.data) == 4 + 1024
+
+    # a frame at exactly the cap still goes through (unmasked text)
+    ok = Stub(bytes([0x81, 127]) + struct.pack(">Q", WS_MAX_FRAME)
+              + b"a" * WS_MAX_FRAME)
+    op, payload, fin = ws_recv_frame(ok)
+    assert op == 0x1 and len(payload) == WS_MAX_FRAME and fin
+
+
 def test_viewer_websocket_pipelined_upgrade(tmp_path):
     """A scripted client that pipelines its first masked frame in the SAME
     TCP segment as the upgrade request must still get an answer: the

@@ -82,17 +82,10 @@ def main():
 
     # flagship operating point (methods.nerfacto_tpu_method)
     sys.path.insert(0, str(Path(__file__).parent))
-    from study_field import parse_overrides
+    from study_field import flagship_study_overrides, parse_overrides
 
-    flagship = dict(
-        fourier_basis="tri",
-        max_res=64,
-        base_res=4,
-        hidden_dim=128,
-        num_proposal_samples_per_ray=(96, 32),
-        stop_grad_sampling=True,
-        interlevel_ray_fraction=0.5,
-    )
+    flagship = flagship_study_overrides()
+    flagship.pop("field_type", None)
     cfg = nerfacto.NerfactoConfig(
         num_images=n,
         field_type="fourier",

@@ -49,18 +49,15 @@ def main():
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).parent))
-    from study_field import parse_overrides
+    from study_field import flagship_study_overrides, parse_overrides
 
     B = args.batch
     dm = SyntheticDataManager(num_cameras=8, h=64, w=64, rays_per_batch=B)
     # defaults = the FLAGSHIP operating point (methods.nerfacto_tpu_method):
     # tri basis, (96, 32) proposals, detached resampling — so un-overridden
     # runs time the same model the headline bench/CLAUDE.md numbers describe
-    flagship = dict(
-        fourier_basis="tri", max_res=64, base_res=4, hidden_dim=128,
-        num_proposal_samples_per_ray=(96, 32), stop_grad_sampling=True,
-        interlevel_ray_fraction=0.5,
-    ) if args.field == "fourier" else {}
+    flagship = flagship_study_overrides(128) if args.field == "fourier" else {}
+    flagship.pop("field_type", None)
     cfg = nerfacto.NerfactoConfig(
         num_images=8,
         field_type=args.field,

@@ -117,7 +117,7 @@ def main() -> None:
     from nerf_kbs_tpu.models import nerfacto
 
     sys.path.insert(0, str(Path(__file__).parent))
-    from study_field import parse_overrides
+    from study_field import flagship_study_overrides, parse_overrides
 
     dm = SyntheticDataManager(
         num_cameras=args.cams,
@@ -145,16 +145,7 @@ def main() -> None:
     inj_rot, inj_center = pose_errors(np.asarray(c2w_pert), c2w_true)
 
     def make_cfg(camera_optimizer: str):
-        flagship = dict(
-            field_type="fourier",
-            fourier_basis="tri",
-            max_res=64,
-            base_res=4,
-            hidden_dim=128,
-            num_proposal_samples_per_ray=(96, 32),
-            stop_grad_sampling=True,
-            interlevel_ray_fraction=0.5,
-        )
+        flagship = flagship_study_overrides(args.img)
         over = parse_overrides(args.overrides)
         if "num_proposal_samples_per_ray" in over:
             over["num_proposal_samples_per_ray"] = tuple(
@@ -259,7 +250,7 @@ def main() -> None:
             return {k: jnp.stack([jnp.asarray(b[k]) for b in bs]) for k in bs[0]}
 
         key = jax.random.PRNGKey(1)
-        step, traj = 0, []
+        step, traj, tr_psnr = 0, [], float("nan")
         while step < steps:
             batches = sample_round(step)
             keys = jax.random.split(jax.random.fold_in(key, step0 + step), K)
@@ -275,6 +266,16 @@ def main() -> None:
                     f"eval={ep:.2f}",
                     flush=True,
                 )
+        if not traj or traj[-1][0] != step0 + step:
+            # a phase shorter than --eval-every (or not a multiple of it)
+            # must still record its endpoint: every arm reads traj[-1]
+            ep = eval_psnr(params, step0 + step)
+            traj.append((step0 + step, round(float(tr_psnr), 2), round(ep, 2)))
+            print(
+                f"[{name}] step {step0 + step}: train={float(tr_psnr):.2f} "
+                f"eval={ep:.2f} (final)",
+                flush=True,
+            )
         return params, traj
 
     def field_groups():

@@ -46,6 +46,30 @@ def parse_overrides(pairs: list[str]) -> dict:
     return out
 
 
+def flagship_study_overrides(img: int = 128) -> dict:
+    """The shipped flagship operating point (methods.nerfacto_tpu_method),
+    re-capped for study-scale scenes. Derived from the method registry so a
+    flagship flip (basis, proposal budget, sampling semantics, depth)
+    propagates to every profiler/study tool instead of drifting in three
+    hand-copied dicts. Only max_res is study-local: fourier frequencies
+    above the pixel sampling density memorize (CLAUDE.md), so the
+    KITTI-scale cap is replaced by one matched to the study image size."""
+    from nerf_kbs_tpu.methods import nerfacto_tpu_method
+
+    m = nerfacto_tpu_method().model
+    return dict(
+        field_type=m.field_type,
+        fourier_basis=m.fourier_basis,
+        base_res=4,
+        max_res=img // 2,
+        hidden_dim=m.hidden_dim,
+        num_layers=m.num_layers,
+        num_proposal_samples_per_ray=m.num_proposal_samples_per_ray,
+        stop_grad_sampling=m.stop_grad_sampling,
+        interlevel_ray_fraction=m.interlevel_ray_fraction,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--field", default="fourier")
