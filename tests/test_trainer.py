@@ -341,3 +341,36 @@ def test_batch_streams_are_distinct_per_step():
     stacked_rows = [sdm.next_train(7 + i)["ray_indices"] for i in range(4)]
     for i in range(1, 4):
         assert not np.array_equal(stacked_rows[0], stacked_rows[i])
+
+
+@pytest.mark.parametrize("steps_per_dispatch", [1, 5])
+def test_checkpoint_resume_bit_identical(tmp_path, steps_per_dispatch):
+    """Interrupt/resume equivalence (reference: nerfstudio load_dir,
+    train.py:42-101 crash-restart recovery): a run saved at step 20 and
+    resumed by a FRESH Trainer must end bit-identical to the uninterrupted
+    run. Holds because every stream is seeded by the step — next_train,
+    next_eval_batch, the per-step PRNG fold — and Orbax checkpoints carry
+    params + optimizer state + step. Covers both the per-step and the
+    scanned-dispatch (lax.scan) paths; 20 is a dispatch boundary of both."""
+    from pathlib import Path
+
+    t_full = make_trainer(tmp_path / "full",
+                          steps_per_dispatch=steps_per_dispatch)
+    t_full.train(40)
+
+    t_int = make_trainer(tmp_path / "interrupted",
+                         steps_per_dispatch=steps_per_dispatch)
+    t_int.train(20)
+    ckpt = t_int.save_checkpoint()
+    del t_int
+
+    t_res = make_trainer(tmp_path / "resumed",
+                         steps_per_dispatch=steps_per_dispatch,
+                         load_dir=str(Path(ckpt).parent))
+    assert t_res.step == 20
+    t_res.train(20)
+    assert t_res.step == 40
+
+    flat_full, _ = jax.flatten_util.ravel_pytree(jax.device_get(t_full.params))
+    flat_res, _ = jax.flatten_util.ravel_pytree(jax.device_get(t_res.params))
+    np.testing.assert_array_equal(np.asarray(flat_full), np.asarray(flat_res))
