@@ -62,6 +62,12 @@ class TrainerConfig:
     log_every: int = 10
     load_dir: Optional[str] = None
     save_only_latest: bool = True
+    # metric writers (reference vis="viewer"|"tensorboard"|..., train.py:100):
+    # "tensorboard" mirrors every float metric into an event file under
+    # out_dir/tensorboard (dependency-free writer, utils/tboard.py); the
+    # live viewer is the separate --viewer-port flag. metrics.jsonl +
+    # console are always on.
+    vis: str = ""
     # eval-metric parity (reference nerfacto.py:596-602): LPIPS is part of the
     # reference eval dict — when True, a missing local VGG checkpoint is a
     # hard error instead of a silently absent metric
@@ -123,6 +129,7 @@ class Trainer:
         self.out_dir = Path(config.output_dir) / config.experiment_name / config.method_name
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self._metrics_file = self.out_dir / "metrics.jsonl"
+        self._tb_writer = None  # lazy, only when "tensorboard" in config.vis
 
         key = jax.random.PRNGKey(config.seed)
         self.params = self.model.init(key, model_config)
@@ -646,6 +653,14 @@ class Trainer:
     def _log(self, metrics: dict) -> None:
         with open(self._metrics_file, "a") as f:
             f.write(json.dumps(metrics) + "\n")
+        if "tensorboard" in self.config.vis:
+            if self._tb_writer is None:
+                from nerf_kbs_tpu.utils.tboard import TensorboardWriter
+
+                self._tb_writer = TensorboardWriter(self.out_dir / "tensorboard")
+            self._tb_writer.add_scalars(
+                int(metrics.get("step", self.step)), metrics
+            )
         pieces = [f"step {metrics.get('step', self.step)}"]
         for k in ("total_loss", "rgb_loss", "psnr", "rays_per_sec",
                   "eval_psnr", "eval_all_psnr"):

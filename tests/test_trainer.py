@@ -374,3 +374,21 @@ def test_checkpoint_resume_bit_identical(tmp_path, steps_per_dispatch):
     flat_full, _ = jax.flatten_util.ravel_pytree(jax.device_get(t_full.params))
     flat_res, _ = jax.flatten_util.ravel_pytree(jax.device_get(t_res.params))
     np.testing.assert_array_equal(np.asarray(flat_full), np.asarray(flat_res))
+
+
+def test_trainer_tensorboard_vis(tmp_path):
+    """vis="tensorboard" (reference train.py:100) mirrors logged metrics
+    into an event file a stock tensorboard install can read."""
+    ea_mod = pytest.importorskip(
+        "tensorboard.backend.event_processing.event_accumulator"
+    )
+
+    t = make_trainer(tmp_path, vis="tensorboard")
+    t.train(50)  # log_every=50 -> exactly one scalar event row
+    tb_dir = t.out_dir / "tensorboard"
+    assert list(tb_dir.glob("events.out.tfevents.*"))
+    ea = ea_mod.EventAccumulator(str(tb_dir))
+    ea.Reload()
+    tags = ea.Tags()["scalars"]
+    assert "psnr" in tags and "total_loss" in tags
+    assert ea.Scalars("psnr")[0].step == 50

@@ -384,3 +384,52 @@ def test_viewer_server_endpoints(tmp_path):
         assert b"viewer" in html
     finally:
         srv.shutdown()
+
+
+def test_tensorboard_writer_roundtrip(tmp_path):
+    """The dependency-free event writer (utils/tboard.py, reference
+    vis='tensorboard' train.py:100) must produce files the REAL
+    tensorboard reader parses: scalars come back with exact steps/tags
+    and float32-rounded values, and the TFRecord CRCs must be the ones
+    tensorboard's own crc32c computes."""
+    ea_mod = pytest.importorskip(
+        "tensorboard.backend.event_processing.event_accumulator"
+    )
+
+    from nerf_kbs_tpu.utils.tboard import TensorboardWriter
+
+    w = TensorboardWriter(tmp_path)
+    w.add_scalars(1, {"psnr": 21.5, "total_loss": 0.25, "step": 1})
+    w.add_scalars(50, {"psnr": 30.125, "note": "not-a-float"})
+    w.close()
+
+    ea = ea_mod.EventAccumulator(str(tmp_path))
+    ea.Reload()
+    assert sorted(ea.Tags()["scalars"]) == ["psnr", "total_loss"]
+    psnr = ea.Scalars("psnr")
+    assert [(e.step, e.value) for e in psnr] == [(1, 21.5), (50, 30.125)]
+    assert ea.Scalars("total_loss")[0].value == 0.25
+
+    # CRC parity with tensorboard's own implementation on the raw records
+    import struct
+
+    from tensorboard.compat.tensorflow_stub.pywrap_tensorflow import (
+        masked_crc32c,
+    )
+
+    from nerf_kbs_tpu.utils.tboard import _masked_crc
+
+    raw = next(tmp_path.glob("events.out.tfevents.*")).read_bytes()
+    off = 0
+    n_records = 0
+    while off < len(raw):
+        (ln,) = struct.unpack("<Q", raw[off : off + 8])
+        (len_crc,) = struct.unpack("<I", raw[off + 8 : off + 12])
+        data = raw[off + 12 : off + 12 + ln]
+        (data_crc,) = struct.unpack("<I", raw[off + 12 + ln : off + 16 + ln])
+        assert len_crc == _masked_crc(raw[off : off + 8])
+        assert len_crc == masked_crc32c(raw[off : off + 8])
+        assert data_crc == masked_crc32c(data)
+        off += 16 + ln
+        n_records += 1
+    assert n_records == 3  # file_version + 2 scalar events
