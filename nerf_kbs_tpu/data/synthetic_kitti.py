@@ -540,7 +540,7 @@ def write_vkitti_dataset(out_dir: str | Path, n_frames: int = 20,
             out / "frames" / "rgb" / "Camera_0" / f"rgb_{i:05d}.jpg", quality=97
         )
         cm16 = np.clip(depth * 100.0, 0, 65535).astype(np.uint16)
-        Image.fromarray(cm16, mode="I;16").save(
+        Image.fromarray(cm16).save(  # uint16 array -> I;16 PNG (bit-exact)
             out / "frames" / "depth" / "Camera_0" / f"depth_{i:05d}.png"
         )
         intr_rows.append(f"{i} 0 {fx:.6f} {fy:.6f} {cx:.6f} {cy:.6f}")

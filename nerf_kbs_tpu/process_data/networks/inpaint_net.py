@@ -87,7 +87,9 @@ class WindowAttentionBlock(nn.Module):
         y = y.transpose(0, 2, 4, 1, 3, 5, 6).reshape(
             b * (h // win) * (w // win), t * win * win, c
         )
-        y = nn.SelfAttention(num_heads=self.heads, name="attn")(y)
+        # single-arg MultiHeadDotProductAttention == self-attention; same
+        # param tree as the deprecated nn.SelfAttention (ckpt-compatible)
+        y = nn.MultiHeadDotProductAttention(num_heads=self.heads, name="attn")(y)
         y = y.reshape(b, h // win, w // win, t, win, win, c)
         y = y.transpose(0, 3, 1, 4, 2, 5, 6).reshape(b, t, h, w, c)
         x = x + y
