@@ -130,6 +130,11 @@ class Trainer:
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self._metrics_file = self.out_dir / "metrics.jsonl"
         self._tb_writer = None  # lazy, only when "tensorboard" in config.vis
+        # process start, for the elapsed_s column in metrics.jsonl (the
+        # BASELINE.md "wall-clock to target PSNR" axis). Per-process: a
+        # load_dir resume restarts the clock, which is what a wall-clock
+        # comparison of fresh runs wants anyway.
+        self._t0 = time.monotonic()
 
         key = jax.random.PRNGKey(config.seed)
         self.params = self.model.init(key, model_config)
@@ -651,6 +656,7 @@ class Trainer:
 
     # ------------------------------------------------------------------ log
     def _log(self, metrics: dict) -> None:
+        metrics.setdefault("elapsed_s", round(time.monotonic() - self._t0, 1))
         with open(self._metrics_file, "a") as f:
             f.write(json.dumps(metrics) + "\n")
         if "tensorboard" in self.config.vis:
