@@ -1,3 +1,5 @@
+import json
+
 import jax
 import numpy as np
 import pytest
@@ -71,6 +73,12 @@ def test_trainer_loss_decreases_on_synthetic_scene(tmp_path):
     m_last = trainer.train(num_iterations=150)
     assert m_last["rgb_loss"] < first_loss * 0.8
     assert m_last["rays_per_sec"] > 0
+    # every metrics.jsonl line carries the wall-clock coordinate
+    # (BASELINE.md wall-clock-to-PSNR axis; tools/wallclock_to_psnr.py)
+    lines = [json.loads(l) for l in
+             (trainer.out_dir / "metrics.jsonl").read_text().splitlines()]
+    assert lines and all("elapsed_s" in l for l in lines)
+    assert lines[-1]["elapsed_s"] >= lines[0]["elapsed_s"]
 
     # full-image render has the right shape and finite values
     out = trainer.render_camera(0)
