@@ -249,6 +249,15 @@ def build_trainer(spec: MethodSpec) -> Trainer:
     )
 
 
+def _resolve_viewer_port(viewer_port: int, vis: str) -> int:
+    """The reference's vis="viewer" / "viewer+tensorboard" (train.py:100)
+    starts the live viewer; nerfstudio's default port is 7007. An explicit
+    --viewer-port always wins."""
+    if not viewer_port and "viewer" in vis:
+        return 7007
+    return viewer_port
+
+
 def main(argv: Optional[list[str]] = None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     # device selection (the reference picks devices via MachineConfig
@@ -353,6 +362,9 @@ def main(argv: Optional[list[str]] = None) -> None:
         )
         print(f"rendered {len(written)} frames to {render_dir}")
         return
+    viewer_port = _resolve_viewer_port(
+        viewer_port, getattr(trainer.config, "vis", "")
+    )
     if viewer_port:
         from nerf_kbs_tpu.engine.viewer import ViewerServer
 

@@ -64,9 +64,10 @@ class TrainerConfig:
     save_only_latest: bool = True
     # metric writers (reference vis="viewer"|"tensorboard"|..., train.py:100):
     # "tensorboard" mirrors every float metric into an event file under
-    # out_dir/tensorboard (dependency-free writer, utils/tboard.py); the
-    # live viewer is the separate --viewer-port flag. metrics.jsonl +
-    # console are always on.
+    # out_dir/tensorboard (dependency-free writer, utils/tboard.py);
+    # "viewer" starts the live HTTP viewer on port 7007 (or use
+    # --viewer-port to pick the port). metrics.jsonl + console are
+    # always on.
     vis: str = ""
     # eval-metric parity (reference nerfacto.py:596-602): LPIPS is part of the
     # reference eval dict — when True, a missing local VGG checkpoint is a

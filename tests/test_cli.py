@@ -188,3 +188,16 @@ def test_nerfacto_tpu_flagship_operating_point():
     assert m.stop_grad_sampling
     assert m.interlevel_ray_fraction == 0.5
     assert m.max_res == 256 and m.fourier_anneal_steps == 5000
+
+
+def test_vis_viewer_resolves_default_port():
+    """vis="viewer" / "viewer+tensorboard" (reference train.py:100) starts
+    the live viewer on nerfstudio's default port; explicit --viewer-port
+    wins; plain tensorboard/empty vis starts no viewer."""
+    from nerf_kbs_tpu.engine.cli import _resolve_viewer_port
+
+    assert _resolve_viewer_port(0, "viewer") == 7007
+    assert _resolve_viewer_port(0, "viewer+tensorboard") == 7007
+    assert _resolve_viewer_port(8123, "viewer") == 8123
+    assert _resolve_viewer_port(0, "tensorboard") == 0
+    assert _resolve_viewer_port(0, "") == 0
