@@ -1,0 +1,159 @@
+"""Evidence-ledger checker: every outputs/ path cited in PARITY.md must exist
+on disk AND be git-tracked.
+
+Round-3 verdict weakness #1: a container restart wiped un-committed outputs/
+artifacts behind several headline PARITY claims, leaving numbers whose only
+record was a markdown table. This checker makes the ledger structural: it
+extracts every ``outputs/...`` citation from the evidence documents, expands
+brace-groups (``{a,b}``) and globs (``*``), and asserts each citation resolves
+to at least one file that is BOTH on disk and tracked by git (``git ls-files``).
+Run by tests/test_evidence.py on every test-suite invocation.
+
+``tools/evidence_pending.txt`` may list citations whose restore run is still
+in flight (one per line, ``#`` comments).  A pending entry suppresses the
+missing-artifact failure — but if the artifact HAS landed, the entry itself
+becomes a failure, so the pending list can only shrink.  It must be empty at
+rest.
+
+Mirrors the reference's empirical-evidence culture (metrics files alongside
+every experiment) done with actual enforcement.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+DOCS = ["PARITY.md", "README.md", "CLAUDE.md", "BASELINE.md", "docs/PERFORMANCE.md"]
+PENDING_FILE = REPO / "tools" / "evidence_pending.txt"
+
+# outputs/ followed by path chars incl. brace groups and globs; stop at
+# whitespace, backtick, paren-close, etc.  Trailing punctuation stripped after.
+_CITE_RE = re.compile(r"outputs/[A-Za-z0-9_/.{},*-]+")
+
+
+def extract_citations(text: str) -> list[str]:
+    cites = []
+    for m in _CITE_RE.finditer(text):
+        c = m.group(0)
+        # strip trailing punctuation that the regex over-grabs from prose
+        c = c.rstrip(".,;:")
+        c = c.rstrip("/")
+        if c == "outputs":  # bare mention of the directory, not a citation
+            continue
+        cites.append(c)
+    return cites
+
+
+def expand_braces(path: str) -> list[str]:
+    """Expand {a,b,c} groups (possibly several) into concrete paths."""
+    m = re.search(r"\{([^{}]*)\}", path)
+    if not m:
+        return [path]
+    pre, post = path[: m.start()], path[m.end() :]
+    out = []
+    for alt in m.group(1).split(","):
+        out.extend(expand_braces(pre + alt.strip() + post))
+    return out
+
+
+def git_tracked_files() -> set[str]:
+    res = subprocess.run(
+        ["git", "ls-files", "-z", "outputs"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return {p for p in res.stdout.split("\0") if p}
+
+
+def resolves(cite: str, tracked: set[str]) -> bool:
+    """True iff the citation matches >=1 file that exists AND is tracked."""
+    for concrete in expand_braces(cite):
+        if "*" in concrete:
+            # glob against tracked files (they exist in the worktree unless
+            # deleted; require disk presence too)
+            pat = re.compile(
+                "^" + ".*".join(re.escape(p) for p in concrete.split("*")) + "(/.*)?$"
+            )
+            if any(pat.match(t) and (REPO / t).exists() for t in tracked):
+                continue
+            return False
+        p = REPO / concrete
+        if p.is_file():
+            if concrete not in tracked:
+                return False
+        elif p.is_dir():
+            prefix = concrete + "/"
+            if not any(t.startswith(prefix) for t in tracked):
+                return False
+        else:
+            # Neither file nor dir: allow "run-dir stem" citations like
+            # outputs/r3sem/sem30k-flagship that cite the experiment dir a
+            # method subdir lives under -- but only if a tracked file sits
+            # under some extension of the stem's parent dir with this name.
+            prefix = concrete
+            if not any(
+                t.startswith(prefix + "/") and (REPO / t).exists() for t in tracked
+            ):
+                return False
+    return True
+
+
+def load_pending() -> list[str]:
+    if not PENDING_FILE.exists():
+        return []
+    out = []
+    for line in PENDING_FILE.read_text().splitlines():
+        line = line.strip()
+        if line and not line.startswith("#"):
+            out.append(line)
+    return out
+
+
+def main() -> int:
+    tracked = git_tracked_files()
+    pending = load_pending()
+    failures: list[str] = []
+
+    all_cites: dict[str, list[str]] = {}
+    for doc in DOCS:
+        path = REPO / doc
+        if not path.exists():
+            continue
+        for cite in extract_citations(path.read_text()):
+            all_cites.setdefault(cite, []).append(doc)
+
+    for cite, docs in sorted(all_cites.items()):
+        ok = resolves(cite, tracked)
+        if ok and cite in pending:
+            failures.append(
+                f"STALE-PENDING  {cite}  (artifact landed; remove from "
+                f"tools/evidence_pending.txt and git add -f it)"
+            )
+        elif not ok and cite in pending:
+            pass  # restore in flight, allowed
+        elif not ok:
+            failures.append(f"MISSING/UNTRACKED  {cite}  (cited in {', '.join(docs)})")
+
+    # pending entries must themselves be citations, else they are typos
+    for p in pending:
+        if p not in all_cites:
+            failures.append(f"PENDING-NOT-CITED  {p}  (not found in any doc)")
+
+    if failures:
+        print(f"{len(failures)} evidence-ledger failure(s):")
+        for f in failures:
+            print("  " + f)
+        return 1
+    print(f"evidence ledger OK: {len(all_cites)} citations resolved, {len(pending)} pending")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
