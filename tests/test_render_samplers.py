@@ -196,6 +196,45 @@ def test_depth_scale_shift_recovery(rng):
     assert float(L.monodepth_loss(pred, gt)) == pytest.approx(0.0, abs=1e-6)
 
 
+def test_eval_depth_mse_scene_units_regression(rng):
+    """Pin the eval depth-MSE semantics that explain the r3cap ~900 anomaly.
+
+    Scale-shift-aligned depth MSE (reference nerfacto.py:616-627 semantics)
+    is invariant to an affine transform of the PREDICTION but scales as k^2
+    when the GT is scaled by k.  Pre-5b0dd9d the datamanager loaded GT depth
+    in raw metric units while poses were auto-normalized by dataparser_scale
+    (1/15.6 on the street scene), so every pre-fix run's eval depth MSE was
+    inflated by exactly 15.6^2 = 243.36 — the tracked r3cap rung-1 runs show
+    243.3 +/- 1 vs their post-fix r3cap2 replicas (PARITY 'Capacity' note).
+    This test pins both properties so the units can never silently drift
+    again.
+    """
+    gt = jnp.array(rng.uniform(1, 10, (1, 512)), jnp.float32)
+    pred = gt + jnp.array(rng.normal(0, 0.3, (1, 512)), jnp.float32)
+    mask = jnp.ones_like(gt)
+
+    def aligned_mse(pd, g):
+        s, t = L.normalized_depth_scale_and_shift(pd, g, mask)
+        return float(jnp.mean((s[:, None] * pd + t[:, None] - g) ** 2))
+
+    base = aligned_mse(pred, gt)
+    # invariant to affine re-parameterization of the prediction
+    assert aligned_mse(3.7 * pred - 1.2, gt) == pytest.approx(base, rel=1e-4)
+    # but gt unit errors scale the metric by k^2 — the r3cap excursion
+    k = 15.6
+    assert aligned_mse(pred, k * gt) == pytest.approx(k * k * base, rel=1e-3)
+
+    # and the loader must put GT depth in auto-scaled SCENE units
+    import tempfile, os
+    from nerf_kbs_tpu.data.datamanager import _load_depth
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "d.npy")
+        np.save(p, np.full((4, 4), 100.0, np.float32))  # 100 m
+        d = _load_depth(p, 1.0 * (1.0 / 15.6))  # unit_scale * dataparser_scale
+        assert d[0, 0] == pytest.approx(100.0 / 15.6, rel=1e-6)
+
+
 def test_colors_to_labels_and_semantic_loss():
     class_colors = jnp.array([[0.0, 0, 0], [1.0, 0, 0], [0.0, 1, 0]])
     pix = jnp.array([[0.05, 0, 0], [0.9, 0.1, 0], [0, 1.0, 0.02]])
