@@ -56,6 +56,14 @@ def main():
         "hoist_ray_generation) — measured SLOWER on v5e (16.21 vs 15.89 "
         "ms/step: materialized rays round-trip HBM, in-scan fuses)",
     )
+    ap.add_argument(
+        "--ablate",
+        action="store_true",
+        help="itemize the scanned-vs-flat per-step gap: time the device "
+        "scan under per-feature ablations (const rays, loop-invariant "
+        "batch, fixed key, no metrics aux, single-camera table) and print "
+        "the delta table (round-4 verdict ask #3)",
+    )
     ap.add_argument("overrides", nargs="*", help="NerfactoConfig key=value")
     args = ap.parse_args()
 
@@ -112,37 +120,89 @@ def main():
 
     import optax
 
-    @jax.jit
-    def scan_step(params, opt_state, stacked, step):
-        if args.compress:
-            from nerf_kbs_tpu.engine.trainer import Trainer
+    def make_scan(const_rays=False, invariant_batch=False, fixed_key=False,
+                  no_metrics=False):
+        """Faithful replica of Trainer._build_scan_step's body (per-step
+        fold_in key stream, metrics aux, step carry), parameterized for the
+        gap ablations:
 
-            stacked = Trainer._decode_feed(stacked)
-        rays_pre = None
-        if args.hoist:
-            rays_pre = jax.vmap(lambda ix: generate_rays(cameras_d, ix))(
-                stacked["ray_indices"]
-            )
+        const_rays:      rays computed once from dispatch row 0 (loop-
+                         invariant -> XLA hoists the camera-table fetch +
+                         direction math out of the scan) while rgb/depth
+                         feed rows stay fresh -> isolates in-scan
+                         generate_rays cost.
+        invariant_batch: the WHOLE batch is loop-invariant (closed over, no
+                         stacked feed) -> reproduces the flat profiler's
+                         protocol inside the scan; baseline - this = the
+                         whole scanned-vs-flat gap.
+        fixed_key:       one key for all K steps (no per-step fold_in).
+        no_metrics:      loss-only scan output (no per-step metrics aux).
+        """
 
-        def body(carry, xs):
-            params, opt_state = carry
-            batch, rays_h = xs
+        @jax.jit
+        def scan_step(params, opt_state, stacked, base_key, step):
+            if args.compress:
+                from nerf_kbs_tpu.engine.trainer import Trainer
 
-            def loss_fn(p):
-                rays = (generate_rays(cameras_d, batch["ray_indices"])
-                        if rays_h is None else rays_h)
-                out = nerfacto.forward(
-                    p, cfg, rays, key=jax.random.PRNGKey(3), step=step, train=True
+                stacked = Trainer._decode_feed(stacked)
+            rays_pre = None
+            if args.hoist:
+                rays_pre = jax.vmap(lambda ix: generate_rays(cameras_d, ix))(
+                    stacked["ray_indices"]
                 )
-                return nerfacto.loss(cfg, out, batch, train=True)
+            batch0 = jax.tree.map(lambda x: x[0], stacked)
+            rays0 = generate_rays(cameras_d, batch0["ray_indices"])
+            Ksteps = jax.tree.leaves(stacked)[0].shape[0]
 
-            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state), loss
+            def body(carry, xs):
+                params, opt_state = carry
+                batch, rays_h, i = xs
+                if invariant_batch:
+                    batch = batch0
+                key = base_key if fixed_key else jax.random.fold_in(base_key, i)
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (stacked, rays_pre))
-        return params, opt_state, losses[-1]
+                def loss_fn(p):
+                    if invariant_batch or const_rays:
+                        rays = rays0
+                    elif rays_h is not None:
+                        rays = rays_h
+                    else:
+                        rays = generate_rays(cameras_d, batch["ray_indices"])
+                    out = nerfacto.forward(
+                        p, cfg, rays, key=key, step=step, train=True
+                    )
+                    return nerfacto.loss(cfg, out, batch, train=True)
+
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                out_m = loss if no_metrics else {**metrics, "total_loss": loss}
+                return (optax.apply_updates(params, updates), opt_state), out_m
+
+            if invariant_batch:
+                # scan over step index only: the feed tensors never enter
+                # the loop, so XLA sees truly loop-invariant data
+
+                def body_inv(carry, i):
+                    return body(carry, (None, None, i))
+
+                (params2, opt_state2), ms = jax.lax.scan(
+                    body_inv, (params, opt_state),
+                    jnp.arange(Ksteps, dtype=jnp.uint32))
+                last = jax.tree.map(lambda m: m[-1], ms)
+                return params2, opt_state2, (
+                    last if no_metrics else last["total_loss"])
+
+            (params, opt_state), ms = jax.lax.scan(
+                body, (params, opt_state),
+                (stacked, rays_pre, jnp.arange(Ksteps, dtype=jnp.uint32)))
+            last = jax.tree.map(lambda m: m[-1], ms)
+            return params, opt_state, (
+                last if no_metrics else last["total_loss"])
+
+        return scan_step
+
+    scan_step = make_scan()
 
     codec = {}
 
@@ -182,24 +242,74 @@ def main():
     t_xfer = (time.perf_counter() - t0) / 4
     print(f"transfer (blocked) : {t_xfer * 1e3:8.1f} ms/dispatch")
 
+    key0, step0 = jax.random.PRNGKey(7), jnp.float32(500)
+
+    def time_scan(fn, p, o, dev, reps=3):
+        """Timed with params/opt_state CHAINED through iterations (tunnel
+        memoization defense, CLAUDE.md) and a real value fetched at the end."""
+        p, o, loss = fn(p, o, dev, key0, step0)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            p, o, loss = fn(p, o, dev, key0, step0)
+            jax.block_until_ready(loss)
+        t = (time.perf_counter() - t0) / reps
+        float(loss)
+        return t, p, o
+
     # compile + warm
     dev = shard_batch_stack(mesh, stacked_np)
-    params, opt_state, loss = scan_step(params, opt_state, dev, jnp.float32(500))
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for d in range(3):
-        params, opt_state, loss = scan_step(params, opt_state, dev, jnp.float32(500))
-        jax.block_until_ready(loss)
-    t_dev = (time.perf_counter() - t0) / 3
+    t_dev, params, opt_state = time_scan(scan_step, params, opt_state, dev)
     print(f"device scan        : {t_dev * 1e3:8.1f} ms/dispatch "
           f"({t_dev / K * 1e3:.2f} ms/step, {B * K / t_dev / 1e6:.2f} M rays/s)")
+
+    if args.ablate:
+        # Each variant re-jits; deltas vs the faithful baseline itemize the
+        # scanned-vs-flat gap feature by feature.  (verdict r3 ask #3)
+        variants = [
+            ("baseline (faithful trainer body)", {}),
+            ("const rays (raygen hoisted)", {"const_rays": True}),
+            ("loop-invariant batch (flat bound)", {"invariant_batch": True}),
+            ("fixed key (no per-step fold_in)", {"fixed_key": True}),
+            ("no metrics aux", {"no_metrics": True}),
+        ]
+        print("\n--- scanned-vs-flat gap itemization (ms/step) ---")
+        base_ms = None
+        for name, kw in variants:
+            fn = make_scan(**kw)
+            t, params, opt_state = time_scan(fn, params, opt_state, dev)
+            ms = t / K * 1e3
+            if base_ms is None:
+                base_ms = ms
+                print(f"{name:38s}: {ms:6.2f}")
+            else:
+                print(f"{name:38s}: {ms:6.2f}  (delta {base_ms - ms:+6.2f})")
+        # single-camera table: rebuild cameras with n=1 and zero cam indices
+        cam1 = DataparserOutputs(
+            [], orbit_cameras(1, h=h, w=w), np.array([[-1.0] * 3, [1.0] * 3])
+        ).cameras()
+        cameras_d1 = replicate(mesh, cam1)
+        stacked1 = dict(stacked_np)
+        ri = stacked1["ray_indices"].copy()
+        ri[..., 0] = 0
+        stacked1["ray_indices"] = ri
+        # make_scan closes over this scope's `cameras_d`; rebind it before
+        # constructing the variant so its trace fetches from the 1-row table
+        saved = cameras_d
+        cameras_d = cameras_d1
+        fn1 = make_scan()
+        dev1 = shard_batch_stack(mesh, stacked1)
+        t, params, opt_state = time_scan(fn1, params, opt_state, dev1)
+        print(f"{'single-camera table (cam fetch ~free)':38s}: {t / K * 1e3:6.2f}  "
+              f"(delta {base_ms - t / K * 1e3:+6.2f})")
+        cameras_d = saved
 
     # -------- the real overlapped loop ------------------------------------
     t0 = time.perf_counter()
     for d in range(args.dispatches):
         stacked = assemble(d)
         dev = shard_batch_stack(mesh, stacked)
-        params, opt_state, loss = scan_step(params, opt_state, dev, jnp.float32(500))
+        params, opt_state, loss = scan_step(params, opt_state, dev, key0, step0)
     jax.block_until_ready(loss)
     float(loss)
     t_loop = (time.perf_counter() - t0) / args.dispatches
