@@ -160,6 +160,14 @@ class Trainer:
         self._train_step = self._build_train_step()
         self._scan_step = None  # built lazily when steps_per_dispatch > 1
         self._feed_codec = None  # per-key wire codec, chosen on 1st dispatch
+        # host-feed phase accounting (per-process): bytes and seconds spent
+        # assembling / encoding / handing off each scanned dispatch — the
+        # measured basis for the compress_host_feed auto-policy
+        # (tools/profile_dcn_codec.py reads this after train())
+        self.feed_stats = {
+            "dispatches": 0, "bytes_raw": 0, "bytes_wire": 0,
+            "assemble_s": 0.0, "encode_s": 0.0, "transfer_s": 0.0,
+        }
         self._render_chunk = self._build_render_chunk()
         self._lpips = None
         self._lpips_checked = False
@@ -351,18 +359,28 @@ class Trainer:
 
                 if self._scan_step is None:
                     self._scan_step = self._build_scan_step()
+                fs = self.feed_stats
+                t_ph = time.perf_counter()
                 batches = [self.dm.next_train(self.step + i) for i in range(K)]
                 stacked = {
                     k: np.stack([b[k] for b in batches]) for k in batches[0]
                 }
+                fs["assemble_s"] += time.perf_counter() - t_ph
+                fs["bytes_raw"] += sum(v.nbytes for v in stacked.values())
                 compress = cfg.compress_host_feed
                 if compress is None:  # auto: only when the feed crosses DCN
                     compress = jax.process_count() > 1
                 if compress:
+                    t_ph = time.perf_counter()
                     if self._feed_codec is None:
                         self._feed_codec = self._choose_feed_codec(stacked)
                     stacked = self._encode_feed(stacked, self._feed_codec)
+                    fs["encode_s"] += time.perf_counter() - t_ph
+                fs["bytes_wire"] += sum(v.nbytes for v in stacked.values())
+                t_ph = time.perf_counter()
                 stacked = shard_batch_stack(self.mesh, stacked)
+                fs["transfer_s"] += time.perf_counter() - t_ph
+                fs["dispatches"] += 1
                 self.params, self.opt_state, metrics = self._scan_step(
                     self.params, self.opt_state, self.train_cameras, stacked,
                     self._base_key, jnp.asarray(self.step, jnp.float32),

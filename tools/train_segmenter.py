@@ -201,6 +201,11 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default="outputs/segmenter")
     ap.add_argument("--platform", default=None)
+    ap.add_argument(
+        "--eval-ckpt", default=None,
+        help="skip training: load this segmenter.npz and evaluate it on the "
+        "(seed-deterministic) held-out scene set — the fixed-protocol "
+        "cross-rung comparison (same eval set for every checkpoint)")
     args = ap.parse_args()
 
     if args.platform:
@@ -213,8 +218,8 @@ def main() -> None:
 
     from nerf_kbs_tpu.process_data import motion_mask as MM
     from nerf_kbs_tpu.process_data.networks.segmenter import (
-        InstanceSegmenter, SegmenterConfig, extract_instances, predict,
-        save_segmenter, segmenter_loss,
+        InstanceSegmenter, SegmenterConfig, extract_instances, load_segmenter,
+        predict, save_segmenter, segmenter_loss,
     )
 
     out_dir = Path(args.out)
@@ -224,9 +229,10 @@ def main() -> None:
           flush=True)
     t0 = time.time()
     train = []
-    for s in range(args.scenes):
-        train += make_samples(s, args.frames, args.h, args.w,
-                              touching=(s % 2 == 0))
+    if args.eval_ckpt is None:
+        for s in range(args.scenes):
+            train += make_samples(s, args.frames, args.h, args.w,
+                                  touching=(s % 2 == 0))
     # held-out scenes ALL contain a touching pair (the hard case)
     evals = []
     for s in range(args.eval_scenes):
@@ -235,38 +241,43 @@ def main() -> None:
     print(f"  {len(train)} train / {len(evals)} eval frames "
           f"({time.time() - t0:.0f}s)", flush=True)
 
-    X = np.stack([t[0] for t in train])
-    FG = np.stack([t[1] for t in train])
-    OFF = np.stack([t[2] for t in train])
-    V = np.stack([t[3] for t in train])
-
     model = InstanceSegmenter(SegmenterConfig())
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X[:1]))
-    tx = optax.adam(args.lr)
-    opt_state = tx.init(variables)
+    if args.eval_ckpt is not None:
+        model, variables = load_segmenter(args.eval_ckpt)
+        last = {}
+        train_time = 0.0
+    else:
+        X = np.stack([t[0] for t in train])
+        FG = np.stack([t[1] for t in train])
+        OFF = np.stack([t[2] for t in train])
+        V = np.stack([t[3] for t in train])
 
-    @jax.jit
-    def step(variables, opt_state, batch):
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda v: segmenter_loss(model, v, batch), has_aux=True
-        )(variables)
-        updates, opt_state = tx.update(grads, opt_state, variables)
-        return optax.apply_updates(variables, updates), opt_state, loss, metrics
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X[:1]))
+        tx = optax.adam(args.lr)
+        opt_state = tx.init(variables)
 
-    rng = np.random.default_rng(0)
-    t0 = time.time()
-    last = {}
-    for it in range(args.steps):
-        sel = rng.integers(0, len(X), args.batch)
-        batch = {
-            "x": jnp.asarray(X[sel]), "fg": jnp.asarray(FG[sel]),
-            "off": jnp.asarray(OFF[sel]), "valid": jnp.asarray(V[sel]),
-        }
-        variables, opt_state, loss, metrics = step(variables, opt_state, batch)
-        if (it + 1) % 200 == 0 or it == 0:
-            last = {k: float(v) for k, v in metrics.items()}
-            print(f"step {it + 1}: loss {float(loss):.4f} {last}", flush=True)
-    train_time = time.time() - t0
+        @jax.jit
+        def step(variables, opt_state, batch):
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda v: segmenter_loss(model, v, batch), has_aux=True
+            )(variables)
+            updates, opt_state = tx.update(grads, opt_state, variables)
+            return optax.apply_updates(variables, updates), opt_state, loss, metrics
+
+        rng = np.random.default_rng(0)
+        t0 = time.time()
+        last = {}
+        for it in range(args.steps):
+            sel = rng.integers(0, len(X), args.batch)
+            batch = {
+                "x": jnp.asarray(X[sel]), "fg": jnp.asarray(FG[sel]),
+                "off": jnp.asarray(OFF[sel]), "valid": jnp.asarray(V[sel]),
+            }
+            variables, opt_state, loss, metrics = step(variables, opt_state, batch)
+            if (it + 1) % 200 == 0 or it == 0:
+                last = {k: float(v) for k, v in metrics.items()}
+                print(f"step {it + 1}: loss {float(loss):.4f} {last}", flush=True)
+        train_time = time.time() - t0
 
     # ---------------- held-out eval: segmenter vs connected components
     seg_inst_q, cc_inst_q, seg_mask_iou, cc_mask_iou = [], [], [], []
@@ -292,7 +303,8 @@ def main() -> None:
     result = {
         "train_frames": len(train),
         "eval_frames": len(evals),
-        "steps": args.steps,
+        "steps": 0 if args.eval_ckpt else args.steps,
+        "eval_ckpt": args.eval_ckpt,
         "train_seconds": round(train_time, 1),
         "final_train_metrics": last,
         "heldout_touching": {
@@ -302,7 +314,8 @@ def main() -> None:
             "components_fused_mask_iou": round(float(np.mean(cc_mask_iou)), 4),
         },
     }
-    save_segmenter(str(out_dir / "segmenter.npz"), variables)
+    if args.eval_ckpt is None:
+        save_segmenter(str(out_dir / "segmenter.npz"), variables)
     (out_dir / "result.json").write_text(json.dumps(result, indent=2))
     print(json.dumps(result, indent=2))
 
