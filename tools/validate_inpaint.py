@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--window", type=int, default=6)
     ap.add_argument("--clips", type=int, default=1,
                     help="number of DIFFERENT scenes to train on (seeds 0..N-1)")
+    ap.add_argument("--heldout-scenes", type=int, default=1,
+                    help="number of never-seen eval scenes (with "
+                    "--heldout-scene); scene seeds 1000.. so scene 0 stays "
+                    "rung-comparable")
     ap.add_argument("--heldout-scene", action="store_true",
                     help="evaluate on a FRESH scene (seed 1000) instead of "
                          "held-out frames of the training scene")
@@ -91,9 +95,13 @@ def main():
           flush=True)
     clips = [render_clip(s, args.frames) for s in range(args.clips)]
     if args.heldout_scene:
-        # harder protocol: the eval clip is a scene the generator NEVER saw
+        # harder protocol: the eval clip(s) are scenes the generator NEVER
+        # saw. Seeds 1000, 1001, ... so scene 1000 stays comparable with the
+        # earlier single-scene rungs at fixed protocol.
         train_clips = [jnp.asarray(c) for c in clips]
-        eval_clip = jnp.asarray(render_clip(1000, args.frames))
+        eval_clips = [jnp.asarray(render_clip(1000 + i, args.frames))
+                      for i in range(args.heldout_scenes)]
+        eval_clip = eval_clips[0]
     else:
         if args.frames < 2 * args.window:
             raise ValueError(
@@ -108,6 +116,7 @@ def main():
         train_clips = [jnp.asarray(clips[0][:n_train])]
         train_clips += [jnp.asarray(c) for c in clips[1:]]
         eval_clip = jnp.asarray(clips[0][n_train:])
+        eval_clips = [eval_clip]
     train_clip = train_clips[0]  # for init shapes
     n_train = int(train_clip.shape[0])
 
@@ -119,28 +128,46 @@ def main():
     init_opt, step_fn = make_inpaint_train_step(gen)
     opt_state = init_opt(variables)
 
-    # held-out eval windows + fresh masks, fixed across checkpoints
+    # held-out eval windows + fresh masks, fixed across checkpoints.
+    # Scene 0 keeps the EXACT mask stream of the single-scene rungs (ek
+    # itself) so rung-over-rung numbers stay comparable at fixed protocol.
     ek = jax.random.fold_in(key, 7777)
-    eval_masks = random_stroke_masks(ek, eval_clip.shape[0], h, w)
+    eval_masks_list = [
+        random_stroke_masks(ek if i == 0 else jax.random.fold_in(ek, i),
+                            ec.shape[0], h, w)
+        for i, ec in enumerate(eval_clips)
+    ]
+    eval_masks = eval_masks_list[0]
 
-    def eval_masked_psnr(variables):
+    def clip_masked_psnr(variables, ec, mks):
         outs = []
-        for s in range(0, eval_clip.shape[0] - T + 1, T):
-            fr = eval_clip[s : s + T]
-            mk = eval_masks[s : s + T]
+        for s in range(0, ec.shape[0] - T + 1, T):
+            fr = ec[s : s + T]
+            mk = mks[s : s + T]
             # the generator masks internally (inpaint_net: frames*(1-holes))
             pred = gen.apply(variables, fr[None], mk[None])[0]
             comp = pred * mk[..., None] + fr * (1.0 - mk[..., None])
             outs.append(masked_psnr(np.asarray(comp), np.asarray(fr), np.asarray(mk)))
         return float(np.mean(outs))
 
-    base_gray = []
-    for s in range(0, eval_clip.shape[0] - T + 1, T):
-        fr = np.asarray(eval_clip[s : s + T])
-        mk = np.asarray(eval_masks[s : s + T])
-        comp = np.where(mk[..., None] > 0, 0.5, fr)
-        base_gray.append(masked_psnr(comp, fr, mk))
-    baseline_gray = float(np.mean(base_gray))
+    def eval_masked_psnr(variables, all_scenes: bool = False):
+        if not all_scenes:
+            return clip_masked_psnr(variables, eval_clip, eval_masks)
+        return [clip_masked_psnr(variables, ec, mk)
+                for ec, mk in zip(eval_clips, eval_masks_list)]
+
+    def gray_psnr(ec, mks):
+        outs = []
+        for s in range(0, ec.shape[0] - T + 1, T):
+            fr = np.asarray(ec[s : s + T])
+            mk = np.asarray(mks[s : s + T])
+            comp = np.where(mk[..., None] > 0, 0.5, fr)
+            outs.append(masked_psnr(comp, fr, mk))
+        return float(np.mean(outs))
+
+    baseline_gray_scenes = [gray_psnr(ec, mk)
+                            for ec, mk in zip(eval_clips, eval_masks_list)]
+    baseline_gray = baseline_gray_scenes[0]
     baseline_untrained = eval_masked_psnr(variables)
 
     print(f"baseline gray-fill masked PSNR:   {baseline_gray:.2f}", flush=True)
@@ -173,7 +200,8 @@ def main():
                 flush=True,
             )
 
-    final = eval_masked_psnr(variables)
+    final_scenes = eval_masked_psnr(variables, all_scenes=True)
+    final = final_scenes[0]
     result = {
         "masked_psnr_trained": final,
         "masked_psnr_untrained": baseline_untrained,
@@ -183,6 +211,13 @@ def main():
         "size": args.size,
         "clips": args.clips,
         "heldout_scene": bool(args.heldout_scene),
+        # multi-scene protocol (rung 4+): per-scene masked PSNR on N unseen
+        # scenes; scene[0] is the fixed-protocol rung-comparable number
+        "heldout_scenes": int(getattr(args, "heldout_scenes", 1)),
+        "masked_psnr_trained_per_scene": [round(v, 3) for v in final_scenes],
+        "masked_psnr_trained_mean": round(float(np.mean(final_scenes)), 3),
+        "masked_psnr_gray_fill_per_scene": [round(v, 3)
+                                            for v in baseline_gray_scenes],
     }
 
     # full driver pass: write frames+masks to disk, run sliding-window driver
