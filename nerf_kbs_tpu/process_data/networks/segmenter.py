@@ -115,17 +115,49 @@ def make_targets(instance_labels: np.ndarray, offset_scale: float = 64.0):
     return fg, off, fg.copy()
 
 
+def boundary_weight(instance_labels: np.ndarray, radius: int = 2,
+                    gain: float = 4.0) -> np.ndarray:
+    """Per-pixel loss weight 1 + gain within `radius` px of an instance
+    boundary (any 4-neighbor label change, incl. object/background and
+    object/object contacts). Touching movers fail exactly at these pixels —
+    the centroid-vote split runs through the contact line — so the
+    boundary-aware rung up-weights them at fixed data scale (round-4
+    verdict ask #6)."""
+    lbl = np.asarray(instance_labels)
+    b = np.zeros(lbl.shape, bool)
+    b[:-1] |= lbl[:-1] != lbl[1:]
+    b[1:] |= lbl[1:] != lbl[:-1]
+    b[:, :-1] |= lbl[:, :-1] != lbl[:, 1:]
+    b[:, 1:] |= lbl[:, 1:] != lbl[:, :-1]
+    for _ in range(radius):
+        d = b.copy()
+        d[:-1] |= b[1:]
+        d[1:] |= b[:-1]
+        d[:, :-1] |= b[:, 1:]
+        d[:, 1:] |= b[:, :-1]
+        b = d
+    return (1.0 + gain * b).astype(np.float32)
+
+
 def segmenter_loss(model: InstanceSegmenter, variables, batch):
-    """batch: x (B, H, W, 6), fg (B, H, W), off (B, H, W, 2), valid (B, H, W).
+    """batch: x (B, H, W, 6), fg (B, H, W), off (B, H, W, 2), valid (B, H, W);
+    optional per-pixel loss weight "w" (B, H, W) — see boundary_weight.
     Returns (loss, metrics)."""
     out = model.apply(variables, batch["x"])
     logit = out[..., 0]
     off = out[..., 1:]
     fg = batch["fg"]
-    bce = jnp.mean(
+    w = batch.get("w")
+    bce_px = (
         jnp.maximum(logit, 0.0) - logit * fg + jnp.log1p(jnp.exp(-jnp.abs(logit)))
     )
+    if w is None:
+        bce = jnp.mean(bce_px)
+    else:
+        bce = jnp.sum(w * bce_px) / jnp.maximum(jnp.sum(w), 1.0)
     v = batch["valid"][..., None]
+    if w is not None:
+        v = v * w[..., None]
     denom = jnp.maximum(jnp.sum(v), 1.0)
     l1 = jnp.sum(v * jnp.abs(off - batch["off"])) / denom
     loss = bce + l1

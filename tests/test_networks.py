@@ -189,3 +189,41 @@ def test_segmenter_model_and_checkpoint_roundtrip(tmp_path):
     model2, v2 = load_segmenter(str(p))
     out2 = model2.apply(v2, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_segmenter_boundary_weight_and_weighted_loss():
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_kbs_tpu.process_data.networks.segmenter import (
+        InstanceSegmenter, SegmenterConfig, boundary_weight, segmenter_loss,
+    )
+
+    # two touching instances: the contact line and outer rims get weighted
+    lbl = np.zeros((16, 20), np.int32)
+    lbl[4:12, 2:10] = 1
+    lbl[4:12, 10:18] = 2  # touches instance 1 along column 10
+    w = boundary_weight(lbl, radius=1, gain=4.0)
+    assert w.shape == lbl.shape
+    assert w[8, 10] == 5.0 and w[8, 9] == 5.0  # contact line weighted
+    assert w[0, 0] == 1.0  # far background unweighted
+    assert w[8, 5] == 1.0  # instance interior unweighted
+
+    model = InstanceSegmenter(SegmenterConfig())
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 20, 6))
+    v = model.init(jax.random.PRNGKey(1), x)
+    batch = {
+        "x": x,
+        "fg": jnp.asarray((lbl > 0).astype(np.float32))[None],
+        "off": jnp.zeros((1, 16, 20, 2)),
+        "valid": jnp.asarray((lbl > 0).astype(np.float32))[None],
+    }
+    loss_plain, _ = segmenter_loss(model, v, batch)
+    # gain 0 weights == all ones -> identical loss (weighted path is a
+    # strict generalization of the rung-2/3 objective)
+    batch["w"] = jnp.ones((1, 16, 20))
+    loss_ones, _ = segmenter_loss(model, v, batch)
+    np.testing.assert_allclose(float(loss_plain), float(loss_ones), rtol=1e-6)
+    batch["w"] = jnp.asarray(w)[None]
+    loss_w, _ = segmenter_loss(model, v, batch)
+    assert np.isfinite(float(loss_w)) and float(loss_w) != float(loss_plain)

@@ -202,6 +202,11 @@ def main() -> None:
     ap.add_argument("--out", default="outputs/segmenter")
     ap.add_argument("--platform", default=None)
     ap.add_argument(
+        "--boundary-gain", type=float, default=0.0,
+        help="boundary-aware loss: up-weight pixels within 2px of an "
+        "instance boundary by (1 + gain) — the quality rung at fixed data "
+        "scale; 0 = off (prior rungs)")
+    ap.add_argument(
         "--eval-ckpt", default=None,
         help="skip training: load this segmenter.npz and evaluate it on the "
         "(seed-deterministic) held-out scene set — the fixed-protocol "
@@ -251,6 +256,14 @@ def main() -> None:
         FG = np.stack([t[1] for t in train])
         OFF = np.stack([t[2] for t in train])
         V = np.stack([t[3] for t in train])
+        W = None
+        if args.boundary_gain > 0:
+            from nerf_kbs_tpu.process_data.networks.segmenter import (
+                boundary_weight,
+            )
+
+            W = np.stack([boundary_weight(t[4], gain=args.boundary_gain)
+                          for t in train])
 
         variables = model.init(jax.random.PRNGKey(0), jnp.asarray(X[:1]))
         tx = optax.adam(args.lr)
@@ -273,6 +286,8 @@ def main() -> None:
                 "x": jnp.asarray(X[sel]), "fg": jnp.asarray(FG[sel]),
                 "off": jnp.asarray(OFF[sel]), "valid": jnp.asarray(V[sel]),
             }
+            if W is not None:
+                batch["w"] = jnp.asarray(W[sel])
             variables, opt_state, loss, metrics = step(variables, opt_state, batch)
             if (it + 1) % 200 == 0 or it == 0:
                 last = {k: float(v) for k, v in metrics.items()}
@@ -305,6 +320,7 @@ def main() -> None:
         "eval_frames": len(evals),
         "steps": 0 if args.eval_ckpt else args.steps,
         "eval_ckpt": args.eval_ckpt,
+        "boundary_gain": args.boundary_gain,
         "train_seconds": round(train_time, 1),
         "final_train_metrics": last,
         "heldout_touching": {
