@@ -254,6 +254,20 @@ def test_scanned_dispatch_matches_per_step(tmp_path):
     np.testing.assert_allclose(f1, f2, atol=1e-5, rtol=1e-4)
 
 
+def test_scanned_dispatch_feed_stats(tmp_path):
+    """The host-feed phase accounting behind the compress_host_feed policy
+    (tools/profile_dcn_codec.py) must record every scanned dispatch."""
+    t = make_trainer(tmp_path, steps_per_dispatch=4)
+    t.train(num_iterations=8)
+    fs = t.feed_stats
+    assert fs["dispatches"] == 2
+    assert fs["bytes_raw"] > 0
+    # codec auto-OFF single-process: wire bytes == raw bytes
+    assert fs["bytes_wire"] == fs["bytes_raw"]
+    assert fs["assemble_s"] >= 0 and fs["transfer_s"] >= 0
+    assert fs["encode_s"] == 0.0
+
+
 def test_scanned_dispatch_hoisted_rays_close(tmp_path):
     """The OPT-IN hoisted-ray scan dispatch (hoist_ray_generation=True;
     default is off — measured slower on v5e, see TrainerConfig) trains the
