@@ -38,3 +38,13 @@ def test_checker_catches_a_missing_citation(tmp_path, monkeypatch):
     assert ce.resolves("outputs/segmenter2/result.json", tracked)
     # brace expansion
     assert ce.expand_braces("outputs/a/{x,y}/z") == ["outputs/a/x/z", "outputs/a/y/z"]
+    # a file on disk but NOT tracked must not resolve (the container-restart
+    # failure mode this checker exists to prevent)
+    import uuid
+
+    scratch = REPO / "outputs" / f"_cetest_{uuid.uuid4().hex[:8]}.json"
+    scratch.write_text("{}")
+    try:
+        assert not ce.resolves(f"outputs/{scratch.name}", tracked)
+    finally:
+        scratch.unlink()
