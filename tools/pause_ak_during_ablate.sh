@@ -26,7 +26,16 @@ PIDS="$AK $(descendants "$AK")"
 for p in $PIDS; do kill -STOP "$p" 2>/dev/null; done
 echo "$(date +%T) paused AK tree: $PIDS" > /tmp/ak_pause.log
 
+# resume when the ablate reports its exit OR queue AM dies (crash/OOM/
+# different launch redirection): never leave AK SIGSTOPped forever
+# (advisor r4 — tpu_queue_am.sh does not write its own log; the marker
+# only appears via the launcher's `> /tmp/queue_am.log` redirection)
 while ! grep -q 'ABLATE_EXIT' /tmp/queue_am.log 2>/dev/null; do
+  AM=$(cat /tmp/queue_am.pid 2>/dev/null)
+  if [ -z "$AM" ] || ! kill -0 "$AM" 2>/dev/null; then
+    echo "$(date +%T) queue AM gone — resuming AK early" >> /tmp/ak_pause.log
+    break
+  fi
   sleep 20
 done
 

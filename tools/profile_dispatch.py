@@ -121,7 +121,7 @@ def main():
     import optax
 
     def make_scan(const_rays=False, invariant_batch=False, fixed_key=False,
-                  no_metrics=False):
+                  no_metrics=False, fixed_step=False):
         """Faithful replica of Trainer._build_scan_step's body (per-step
         fold_in key stream, metrics aux, step carry), parameterized for the
         gap ablations:
@@ -137,10 +137,13 @@ def main():
                          whole scanned-vs-flat gap.
         fixed_key:       one key for all K steps (no per-step fold_in).
         no_metrics:      loss-only scan output (no per-step metrics aux).
+        fixed_step:      the step carry does not increment, so the anneal-
+                         window scalar math is loop-invariant (the flat
+                         profiler's protocol feeds one constant step).
         """
 
         @jax.jit
-        def scan_step(params, opt_state, stacked, base_key, step):
+        def scan_step(params, opt_state, stacked, base_key, step0):
             if args.compress:
                 from nerf_kbs_tpu.engine.trainer import Trainer
 
@@ -153,13 +156,16 @@ def main():
             batch0 = jax.tree.map(lambda x: x[0], stacked)
             rays0 = generate_rays(cameras_d, batch0["ray_indices"])
             Ksteps = jax.tree.leaves(stacked)[0].shape[0]
+            # matches Trainer.train's fold_in(base_key, step0_int + i)
+            step0_int = step0.astype(jnp.int32)
 
             def body(carry, xs):
-                params, opt_state = carry
+                params, opt_state, step = carry
                 batch, rays_h, i = xs
                 if invariant_batch:
                     batch = batch0
-                key = base_key if fixed_key else jax.random.fold_in(base_key, i)
+                key = (base_key if fixed_key
+                       else jax.random.fold_in(base_key, step0_int + i))
 
                 def loss_fn(p):
                     if invariant_batch or const_rays:
@@ -177,7 +183,9 @@ def main():
                     loss_fn, has_aux=True)(params)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 out_m = loss if no_metrics else {**metrics, "total_loss": loss}
-                return (optax.apply_updates(params, updates), opt_state), out_m
+                step_next = step if fixed_step else step + 1.0
+                return ((optax.apply_updates(params, updates), opt_state,
+                         step_next), out_m)
 
             if invariant_batch:
                 # scan over step index only: the feed tensors never enter
@@ -186,16 +194,16 @@ def main():
                 def body_inv(carry, i):
                     return body(carry, (None, None, i))
 
-                (params2, opt_state2), ms = jax.lax.scan(
-                    body_inv, (params, opt_state),
-                    jnp.arange(Ksteps, dtype=jnp.uint32))
+                (params2, opt_state2, _), ms = jax.lax.scan(
+                    body_inv, (params, opt_state, step0),
+                    jnp.arange(Ksteps, dtype=jnp.int32))
                 last = jax.tree.map(lambda m: m[-1], ms)
                 return params2, opt_state2, (
                     last if no_metrics else last["total_loss"])
 
-            (params, opt_state), ms = jax.lax.scan(
-                body, (params, opt_state),
-                (stacked, rays_pre, jnp.arange(Ksteps, dtype=jnp.uint32)))
+            (params, opt_state, _), ms = jax.lax.scan(
+                body, (params, opt_state, step0),
+                (stacked, rays_pre, jnp.arange(Ksteps, dtype=jnp.int32)))
             last = jax.tree.map(lambda m: m[-1], ms)
             return params, opt_state, (
                 last if no_metrics else last["total_loss"])
@@ -272,6 +280,10 @@ def main():
             ("loop-invariant batch (flat bound)", {"invariant_batch": True}),
             ("fixed key (no per-step fold_in)", {"fixed_key": True}),
             ("no metrics aux", {"no_metrics": True}),
+            ("fixed step (anneal math invariant)", {"fixed_step": True}),
+            ("ALL hoists combined (flat replica)",
+             {"invariant_batch": True, "fixed_key": True, "no_metrics": True,
+              "fixed_step": True}),
         ]
         print("\n--- scanned-vs-flat gap itemization (ms/step) ---")
         base_ms = None

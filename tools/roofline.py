@@ -54,9 +54,12 @@ def main():
     from nerf_kbs_tpu.data.synthetic import orbit_cameras
     from nerf_kbs_tpu.engine.optimizers import OptimizerConfig, build_optimizer
     from nerf_kbs_tpu.models import nerfacto
+
+    # tools-dir shim BEFORE the study_field import so `python -m
+    # tools.roofline` / import-as-module resolve it too (advisor r4)
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
     from study_field import flagship_study_overrides, parse_overrides
 
-    sys.path.insert(0, str(Path(__file__).parent))
     B, n = args.batch, args.frames
     h, w = 375, 1242
     flagship = flagship_study_overrides()
