@@ -73,6 +73,15 @@ class TrainerConfig:
     # reference eval dict — when True, a missing local VGG checkpoint is a
     # hard error instead of a silently absent metric
     require_lpips: bool = False
+    # NeRF-W eval protocol (reference appearance path,
+    # semantic_nerfw.py:102-114,190-221): when > 0 and the model carries
+    # per-image appearance embeddings, each all/single-image eval first
+    # optimizes ONLY that eval image's embedding row on the LEFT half of
+    # the image (this many Adam steps, lr below), then scores the RIGHT
+    # half with the fitted row (fit_psnr / fit_psnr_right metrics).
+    # psnr_right is always logged so a dim-0 arm is directly comparable.
+    eval_fit_appearance_steps: int = 0
+    eval_fit_appearance_lr: float = 1e-2
     # steps executed inside ONE jitted lax.scan dispatch: host->chip dispatch
     # through the remote tunnel costs ~15 ms, which dominates a ~7 ms train
     # step at 4096 rays. K batches are pre-sampled, stacked and shipped once;
@@ -169,6 +178,7 @@ class Trainer:
             "assemble_s": 0.0, "encode_s": 0.0, "transfer_s": 0.0,
         }
         self._render_chunk = self._build_render_chunk()
+        self._fit_emb = None  # lazy NeRF-W eval-embedding fitter + renderer
         self._lpips = None
         self._lpips_checked = False
 
@@ -337,6 +347,128 @@ class Trainer:
 
         return jax.jit(render_chunk)
 
+    # --------------------------------------------- NeRF-W eval-embedding fit
+    @staticmethod
+    def _appearance_paths(params) -> list[tuple]:
+        """Paths of every per-image appearance-embedding table in the param
+        pytree (nested-dict key tuples ending in 'appearance_emb')."""
+        paths: list[tuple] = []
+
+        def walk(node, pre):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    if k == "appearance_emb":
+                        paths.append(pre + (k,))
+                    else:
+                        walk(v, pre + (k,))
+
+        walk(params, ())
+        return paths
+
+    @staticmethod
+    def _set_path(tree, path, value):
+        if not path:
+            return value
+        out = dict(tree)
+        out[path[0]] = Trainer._set_path(tree[path[0]], path[1:], value)
+        return out
+
+    def _build_fit_emb(self, paths: list[tuple]):
+        """Jitted single fit step + per-camera-fetch renderer for the NeRF-W
+        eval protocol (reference appearance path, semantic_nerfw.py:102-114):
+        gradients flow only into the fetched embedding row (one-hot fetch),
+        every other parameter is a closed-over constant."""
+        import dataclasses as _dc
+
+        import optax
+
+        model = self.model
+        # per-camera embedding fetch at eval (fields.py: mean-embedding path
+        # is skipped when use_average_appearance_embedding is False)
+        mcfg2 = _dc.replace(
+            self.model_config, use_average_appearance_embedding=False
+        )
+        opt = optax.adam(self.config.eval_fit_appearance_lr)
+
+        def set_tables(params, tables):
+            for path, t in zip(paths, tables):
+                params = Trainer._set_path(params, path, t)
+            return params
+
+        @jax.jit
+        def fit_step(tables, opt_state, params, cameras, ray_indices, target,
+                     step):
+            def loss_fn(ts):
+                p = set_tables(params, ts)
+                rays = generate_rays(cameras, ray_indices)
+                out = model.forward(
+                    p, mcfg2, rays, key=None, step=step, train=False
+                )
+                return jnp.mean((out["rgb"] - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(tables)
+            updates, opt_state = opt.update(grads, opt_state, tables)
+            return optax.apply_updates(tables, updates), opt_state, loss
+
+        def render_fit(params, cameras, ray_indices, step):
+            rays = generate_rays(cameras, ray_indices)
+            out = model.forward(
+                params, mcfg2, rays, key=None, step=step, train=False
+            )
+            return {"rgb": out["rgb"]}
+
+        return fit_step, jax.jit(render_fit), set_tables, opt
+
+    def fit_eval_appearance(self, idx: int, p_l, cams_l):
+        """Optimize ONLY eval image idx's appearance-embedding row on the
+        LEFT half of the image (standard NeRF-W eval protocol; the right
+        half stays unseen for scoring). Returns (fitted_params, render_fn)
+        or None when the protocol is off / the model has no embeddings."""
+        steps = self.config.eval_fit_appearance_steps
+        if steps <= 0:
+            return None
+        paths = self._appearance_paths(p_l)
+        if not paths:
+            return None
+        if self._fit_emb is None:
+            self._fit_emb = self._build_fit_emb(paths)
+        fit_step, render_fit, set_tables, opt = self._fit_emb
+
+        # start each table's row idx from the mean embedding (the eval-time
+        # fallback the mean-embedding path would have used)
+        tables = []
+        for path in paths:
+            t = p_l
+            for k in path:
+                t = t[k]
+            tables.append(t.at[idx].set(jnp.mean(t, axis=0)))
+        opt_state = opt.init(tables)
+
+        gt = self.dm.eval_image(idx)
+        img = np.asarray(gt["image"])
+        h, w = img.shape[:2]
+        half = w // 2
+        yy, xx = np.mgrid[0:h, 0:half]
+        pix = np.stack(
+            [np.full(h * half, idx), yy.ravel(), xx.ravel()], -1
+        ).astype(np.int32)
+        tgt = img[:, :half].reshape(-1, 3).astype(np.float32)
+
+        rng = np.random.default_rng(self.step + idx)
+        n_dev = self._local_mesh.devices.size
+        B = max(4096 // n_dev * n_dev, n_dev)
+        step_f = jnp.asarray(self.step, jnp.float32)
+        for _ in range(steps):
+            sel = rng.integers(0, pix.shape[0], B)
+            sb = shard_batch(
+                self._local_mesh, {"ray_indices": pix[sel], "rgb": tgt[sel]}
+            )
+            tables, opt_state, _loss = fit_step(
+                tables, opt_state, p_l, cams_l,
+                sb["ray_indices"], sb["rgb"], step_f,
+            )
+        return set_tables(p_l, tables), render_fit
+
     # ----------------------------------------------------------------- loop
     def train(self, num_iterations: Optional[int] = None) -> dict:
         cfg = self.config
@@ -462,9 +594,17 @@ class Trainer:
         mse = float(np.mean((rgb - np.asarray(batch["image"])) ** 2))
         return {"eval_batch_psnr": 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))}
 
-    def render_camera(self, camera_idx: int, cameras: Optional[Cameras] = None) -> dict:
+    def render_camera(
+        self,
+        camera_idx: int,
+        cameras: Optional[Cameras] = None,
+        params=None,
+        render_fn=None,
+    ) -> dict:
         """Full-image render in eval_num_rays_per_chunk chunks (reference
-        chunked eval, SURVEY §3.3)."""
+        chunked eval, SURVEY §3.3). params/render_fn override the trainer
+        state for protocol renders (e.g. the NeRF-W fitted-embedding pass);
+        an explicit params is assumed already local to the render mesh."""
         cameras = self.eval_cameras if cameras is None else cameras
         h = int(cameras.height[camera_idx])
         w = int(cameras.width[camera_idx])
@@ -480,9 +620,14 @@ class Trainer:
         idx = np.concatenate([idx, np.tile(idx[-1:], (pad, 1))], 0) if pad else idx
         outs: dict[str, list] = {}
         step = jnp.asarray(self.step, jnp.float32)
+        if render_fn is None:
+            render_fn = self._render_chunk
         # fetched ONCE per render, not per chunk: multi-host this
         # device_puts the whole param pytree (trivial single-host)
-        p_l, cams_l = self._local_render_state(cameras)
+        if params is None:
+            p_l, cams_l = self._local_render_state(cameras)
+        else:
+            p_l, cams_l = params, self._local_render_state(cameras)[1]
         for i in range(0, idx.shape[0], chunk):
             part = shard_batch(self._local_mesh, {"ray_indices": idx[i : i + chunk]})
             # Live-viewer renders run concurrently with training dispatches
@@ -496,13 +641,14 @@ class Trainer:
             deadline = time.monotonic() + 60.0
             while True:
                 try:
-                    res = self._render_chunk(
+                    res = render_fn(
                         p_l, cams_l, part["ray_indices"], step
                     )
                     res = {k: np.asarray(v) for k, v in res.items()}
                     break
                 except Exception as e:  # jax raises RuntimeError/ValueError
-                    if ("delete" not in str(e).lower()
+                    if (params is not None
+                            or "delete" not in str(e).lower()
                             or time.monotonic() > deadline):
                         raise
                     time.sleep(0.1)
@@ -522,11 +668,26 @@ class Trainer:
         gt = self.dm.eval_image(idx)
         pred = jnp.asarray(outputs["rgb"])
         gt_img = jnp.asarray(gt["image"])
+        half = gt_img.shape[1] // 2
         metrics = {
             "psnr": float(psnr_fn(pred, gt_img)),
             "ssim": float(ssim_fn(pred, gt_img)),
+            # right-half PSNR: the scored region of the NeRF-W eval
+            # protocol, always logged so embedding-dim arms compare 1:1
+            "psnr_right": float(psnr_fn(pred[:, half:], gt_img[:, half:])),
             "image_idx": idx,
         }
+        if self.config.eval_fit_appearance_steps > 0:
+            p_l, cams_l = self._local_render_state(self.eval_cameras)
+            fitted = self.fit_eval_appearance(idx, p_l, cams_l)
+            if fitted is not None:
+                fp, render_fit = fitted
+                out_f = self.render_camera(idx, params=fp, render_fn=render_fit)
+                pf = jnp.asarray(out_f["rgb"])
+                metrics["fit_psnr"] = float(psnr_fn(pf, gt_img))
+                metrics["fit_psnr_right"] = float(
+                    psnr_fn(pf[:, half:], gt_img[:, half:])
+                )
         if "mask" in gt:
             from nerf_kbs_tpu.ops.metrics import masked_psnr
 
@@ -614,7 +775,8 @@ class Trainer:
         # its images lack some metric (lpips/depth differ per image) —
         # otherwise allgather mismatches across hosts
         keys = ("psnr", "ssim", "lpips", "depth_mse",
-                "semantic_accuracy", "masked_psnr")
+                "semantic_accuracy", "masked_psnr",
+                "psnr_right", "fit_psnr", "fit_psnr_right")
         sums = np.array(
             [sum(m[k] for m in ms if k in m) for k in keys], np.float64
         )

@@ -414,3 +414,64 @@ def test_trainer_tensorboard_vis(tmp_path):
     tags = ea.Tags()["scalars"]
     assert "psnr" in tags and "total_loss" in tags
     assert ea.Scalars("psnr")[0].step == 50
+
+
+def test_nerfw_eval_embedding_fit(tmp_path):
+    """NeRF-W eval protocol (reference appearance path,
+    semantic_nerfw.py:102-114): fit ONLY the eval image's embedding row on
+    the left image half, score the right half. The fit must (a) emit the
+    fit_psnr/fit_psnr_right/psnr_right metrics, (b) touch nothing but the
+    fitted row of the appearance table."""
+    t = make_trainer(tmp_path, eval_fit_appearance_steps=2)
+    t.train(2)
+    m = t.eval_image(0, write_images=False)
+    for k in ("psnr_right", "fit_psnr", "fit_psnr_right"):
+        assert k in m and np.isfinite(m[k]), k
+
+    p_l, _cams = t._local_render_state(t.eval_cameras)
+    paths = t._appearance_paths(p_l)
+    assert paths, "TINY_MODEL carries appearance embeddings (dim 32 default)"
+    fitted, _render = t.fit_eval_appearance(1, p_l, _cams)
+    touched = set()
+    for path in paths:
+        t0, t1 = p_l, fitted
+        for k in path:
+            t0, t1 = t0[k], t1[k]
+        # fitted row moved (re-initialized to the mean + 2 Adam steps) ...
+        assert not np.allclose(np.asarray(t1[1]), np.asarray(t0[1]))
+        # ... every other row is untouched
+        mask = np.arange(t0.shape[0]) != 1
+        np.testing.assert_array_equal(
+            np.asarray(t1)[mask], np.asarray(t0)[mask]
+        )
+        touched.add(path)
+    # every non-embedding leaf is bit-identical
+    import jax as _jax
+
+    l0 = _jax.tree_util.tree_leaves_with_path(p_l)
+    l1 = _jax.tree_util.tree_leaves_with_path(fitted)
+    for (k0, v0), (k1, v1) in zip(l0, l1):
+        keypath = tuple(getattr(e, "key", e) for e in k0)
+        if keypath in touched:
+            continue
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+def test_eval_psnr_right_without_embeddings(tmp_path):
+    """A dim-0 arm logs psnr_right (the protocol's scored region) but no
+    fit metrics — the two arms of the appearance A/B stay 1:1 comparable."""
+    import dataclasses
+
+    dm = SyntheticDataManager(num_cameras=6, h=32, w=32, rays_per_batch=512)
+    cfg = TrainerConfig(
+        method_name="nerfacto-test", output_dir=str(tmp_path),
+        steps_per_eval_image=10_000, steps_per_eval_all_images=100_000,
+        eval_num_rays_per_chunk=2048, log_every=50,
+        eval_fit_appearance_steps=2,
+    )
+    model_cfg = dataclasses.replace(TINY_MODEL, appearance_embedding_dim=0)
+    t = Trainer(cfg, nerfacto, model_cfg, OPTS, dm)
+    t.train(2)
+    m = t.eval_image(0, write_images=False)
+    assert "psnr_right" in m and np.isfinite(m["psnr_right"])
+    assert "fit_psnr" not in m and "fit_psnr_right" not in m
