@@ -1,15 +1,14 @@
 #!/bin/bash
-# Queue AO (round 5): supersedes queue AN. Order:
-#   0. wait for queue AM to drain (r3prop tails, dyn masked, vanilla, roofline)
-#   1. QUIET WINDOW (AK paused via /proc-children walk): flat profile_step +
-#      profile_dispatch --ablate with the new fixed-step / ALL-combined arms,
-#      teed to the PARITY-cited tracked artifact — the coherent
-#      scanned-vs-flat comparison measured back-to-back, uncontended
-#   2. appearance-embedding A/B at the 30k capacity point (verdict r4 #7):
-#      dim 0 vs dim 32 with the NeRF-W half-image eval fit
-#   3. segmenter boundary-loss rung at fixed data scale (verdict r4 #3),
-#      gated on queue AK's drain (scene gen is CPU-heavy; 1-core host)
-#   4. final quiet chip: bench.py r5 + full test suite
+# Queue AO (round 5, v2): supersedes queue AN. Order:
+#   0. wait for queue AM to drain
+#   1. QUIET WINDOW (AK paused via /proc-children walk): flat profile_step,
+#      profile_dispatch --ablate (fixed-step + ALL-combined arms), AND the
+#      r5 driver bench — the first contention-free measurement set; rounds
+#      3/4 driver benches ran with background queues on the chip (the
+#      1.18M-vs-1.65M mystery), so these numbers are the honest ones
+#   2. appearance-embedding A/B at the 30k capacity point (verdict r4 #7)
+#   3. segmenter boundary rung IF enough wall-clock remains (cutoff below),
+#      gated on AK's drain; else full test suite immediately
 set -x
 cd /root/repo
 echo $$ > /tmp/queue_ao.pid
@@ -19,7 +18,6 @@ if [ -f /tmp/queue_am.pid ]; then
   while kill -0 "$(cat /tmp/queue_am.pid)" 2>/dev/null; do sleep 60; done
 fi
 
-# ---- 1. quiet-window profiling (pause AK's tree if alive) ----------------
 descendants() {
   local p=$1 c
   for c in $(cat /proc/"$p"/task/"$p"/children 2>/dev/null); do
@@ -31,15 +29,18 @@ AKPIDS=""
 if [ -n "$AK" ] && kill -0 "$AK" 2>/dev/null; then
   AKPIDS="$AK $(descendants "$AK")"
   for p in $AKPIDS; do kill -STOP "$p" 2>/dev/null; done
-  echo "paused AK tree for quiet profiling window: $AKPIDS"
+  echo "paused AK tree for quiet measurement window: $AKPIDS"
 fi
-mkdir -p outputs/profile
+mkdir -p outputs/profile outputs/bench
 timeout 2400 python tools/profile_step.py --batch 16384 \
   > outputs/profile/step_flat_r5.log 2>&1
 echo PROFSTEP_EXIT=$?
 timeout 3600 python tools/profile_dispatch.py --dispatches 8 --ablate \
   > outputs/profile/dispatch_ablate_r5.log 2>&1
 echo ABLATE_R5_EXIT=$?
+timeout 2400 python bench.py > outputs/bench/bench_r5.log 2>&1
+echo BENCH_R5_EXIT=$?
+grep '^{' outputs/bench/bench_r5.log | tail -2
 if [ -n "$AKPIDS" ]; then
   for p in $AKPIDS; do kill -CONT "$p" 2>/dev/null; done
   echo "resumed AK tree"
@@ -66,23 +67,23 @@ timeout 3600 python train_nerfacto.py nerfacto-tpu $CAP \
   --trainer.experiment_name e32 > /tmp/r5app_e32.log 2>&1
 echo APP_E32_EXIT=$?
 
-# ---- 3. segmenter boundary rung (needs AK drained: CPU-heavy scene gen) --
+# ---- 3. boundary rung only if the round's wall budget allows -------------
 if [ -n "$AK" ]; then
   while kill -0 "$AK" 2>/dev/null; do sleep 60; done
 fi
-timeout 12600 python tools/train_segmenter.py --scenes 96 --eval-scenes 8 \
-  --frames 5 --steps 10000 --boundary-gain 4 \
-  --out outputs/segmenter4_boundary \
-  > /tmp/segmenter4_boundary.log 2>&1
-echo SEG4_BOUNDARY_EXIT=$?
+# round end ~21:25 UTC; the rung needs ~2h15 (gen+train+eval) + suite 25 min
+NOW=$(date -u +%H%M)
+if [ "$NOW" -lt 1845 ]; then
+  timeout 9000 python tools/train_segmenter.py --scenes 96 --eval-scenes 8 \
+    --frames 5 --steps 10000 --boundary-gain 4 \
+    --out outputs/segmenter4_boundary \
+    > /tmp/segmenter4_boundary.log 2>&1
+  echo SEG4_BOUNDARY_EXIT=$?
+else
+  echo SEG4_BOUNDARY_SKIPPED_WALL_CLOCK
+fi
 
-# ---- 4. quiet chip: r5 bench + full suite --------------------------------
-mkdir -p outputs/bench
-timeout 3600 python bench.py > outputs/bench/bench_r5.log 2>&1
-echo BENCH_R5_EXIT=$?
-tail -5 outputs/bench/bench_r5.log
-
-timeout 5400 python -m pytest tests/ -q > /tmp/pytest_full_ao.log 2>&1
+timeout 3600 python -m pytest tests/ -q > /tmp/pytest_full_ao.log 2>&1
 echo PYTEST_EXIT=$?
 tail -3 /tmp/pytest_full_ao.log
 echo QUEUE_AO_DONE
