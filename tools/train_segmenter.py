@@ -269,8 +269,23 @@ def main() -> None:
         tx = optax.adam(args.lr)
         opt_state = tx.init(variables)
 
+        # The WHOLE training set lives on device (rung 3 = ~280 MB) and
+        # each step gathers its minibatch by an 8-int index vector INSIDE
+        # the jitted program. The previous per-step jnp.asarray(X[sel])
+        # shipped ~17 MB of fresh host buffers per step, and through the
+        # axon tunnel those host-side copies are never released while the
+        # dispatch queue is open — 6600 steps x 17 MB = the 115 GB RSS
+        # that OOM-killed the rung-3 restore (oom_score dmesg, round 5).
+        Xd, FGd = jnp.asarray(X), jnp.asarray(FG)
+        OFFd, Vd = jnp.asarray(OFF), jnp.asarray(V)
+        Wd = jnp.asarray(W) if W is not None else None
+
         @jax.jit
-        def step(variables, opt_state, batch):
+        def step(variables, opt_state, sel):
+            batch = {"x": Xd[sel], "fg": FGd[sel],
+                     "off": OFFd[sel], "valid": Vd[sel]}
+            if Wd is not None:
+                batch["w"] = Wd[sel]
             (loss, metrics), grads = jax.value_and_grad(
                 lambda v: segmenter_loss(model, v, batch), has_aux=True
             )(variables)
@@ -281,14 +296,8 @@ def main() -> None:
         t0 = time.time()
         last = {}
         for it in range(args.steps):
-            sel = rng.integers(0, len(X), args.batch)
-            batch = {
-                "x": jnp.asarray(X[sel]), "fg": jnp.asarray(FG[sel]),
-                "off": jnp.asarray(OFF[sel]), "valid": jnp.asarray(V[sel]),
-            }
-            if W is not None:
-                batch["w"] = jnp.asarray(W[sel])
-            variables, opt_state, loss, metrics = step(variables, opt_state, batch)
+            sel = jnp.asarray(rng.integers(0, len(X), args.batch))
+            variables, opt_state, loss, metrics = step(variables, opt_state, sel)
             if (it + 1) % 200 == 0 or it == 0:
                 last = {k: float(v) for k, v in metrics.items()}
                 print(f"step {it + 1}: loss {float(loss):.4f} {last}", flush=True)
