@@ -205,6 +205,16 @@ def nerfacto_tpu_method() -> MethodSpec:
         # PSNR (within run noise; the 0.25 arm measurably trails at 24.94,
         # so it lives in nerfacto-tpu-fast instead) for -0.76 ms/step
         interlevel_ray_fraction=0.5,
+        # the flagship operating point AS VALIDATED: every recorded
+        # flagship/capacity run (PARITY.md) trains with per-image
+        # appearance embeddings OFF (the eval-time mean embedding costs
+        # ~10 dB on appearance-constant captures, CLAUDE.md). The
+        # inherited nerfstudio default (32) silently made every
+        # registry-derived bench/profiler ~2 ms/step heavier than the
+        # model the quality numbers describe (round-5 root-cause). For
+        # in-the-wild multi-exposure captures: set 32 and use the NeRF-W
+        # half-image eval fit (TrainerConfig.eval_fit_appearance_steps).
+        appearance_embedding_dim=0,
     )
     # lr 1e-3 (reference optimizer point) is stable for the fourier field;
     # global-norm clipping guards the early high-frequency phase (lr >= 1e-2

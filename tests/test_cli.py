@@ -188,6 +188,10 @@ def test_nerfacto_tpu_flagship_operating_point():
     assert m.stop_grad_sampling
     assert m.interlevel_ray_fraction == 0.5
     assert m.max_res == 256 and m.fourier_anneal_steps == 5000
+    # benched = trained: the registry op point carries no appearance
+    # embedding (every recorded flagship run passes 0; round-5 root-cause
+    # of the bench-vs-trainer step-time divergence)
+    assert m.appearance_embedding_dim == 0
 
 
 def test_vis_viewer_resolves_default_port():
