@@ -63,9 +63,12 @@ def main():
         field_type=args.field,
         near_plane=0.05,
         far_plane=8.0,
-        appearance_embedding_dim=0,
         compute_dtype="bfloat16" if jax.default_backend() != "cpu" else "float32",
-        **{**flagship, **parse_overrides(args.overrides)},
+        # appearance_embedding_dim rides in via flagship_study_overrides
+        # (registry-derived, 0 at the shipped op point)
+        **{**flagship, **parse_overrides(args.overrides),
+           **({} if args.field == "fourier" else
+              {"appearance_embedding_dim": 0})},
     )
     params = nerfacto.init(jax.random.PRNGKey(0), cfg)
     batch = dm.next_train(0)

@@ -67,6 +67,11 @@ def flagship_study_overrides(img: int = 128) -> dict:
         num_proposal_samples_per_ray=m.num_proposal_samples_per_ray,
         stop_grad_sampling=m.stop_grad_sampling,
         interlevel_ray_fraction=m.interlevel_ray_fraction,
+        # benched = trained: the registry op point ships without per-image
+        # appearance embeddings; the dataclass default (32) silently made
+        # profile_dispatch/roofline ~2 ms/step heavier than the flagship
+        # runs they model (round-5 root-cause)
+        appearance_embedding_dim=m.appearance_embedding_dim,
     )
 
 
