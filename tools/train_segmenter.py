@@ -276,16 +276,18 @@ def main() -> None:
         # axon tunnel those host-side copies are never released while the
         # dispatch queue is open — 6600 steps x 17 MB = the 115 GB RSS
         # that OOM-killed the rung-3 restore (oom_score dmesg, round 5).
-        Xd, FGd = jnp.asarray(X), jnp.asarray(FG)
-        OFFd, Vd = jnp.asarray(OFF), jnp.asarray(V)
-        Wd = jnp.asarray(W) if W is not None else None
+        # data passed as jit ARGUMENTS, not closure constants: closed-over
+        # device arrays are embedded into the serialized program, and a
+        # ~300 MB constant blob overflows the remote-compile tunnel
+        # (HTTP 413, round 5)
+        data = {"x": jnp.asarray(X), "fg": jnp.asarray(FG),
+                "off": jnp.asarray(OFF), "valid": jnp.asarray(V)}
+        if W is not None:
+            data["w"] = jnp.asarray(W)
 
         @jax.jit
-        def step(variables, opt_state, sel):
-            batch = {"x": Xd[sel], "fg": FGd[sel],
-                     "off": OFFd[sel], "valid": Vd[sel]}
-            if Wd is not None:
-                batch["w"] = Wd[sel]
+        def step(variables, opt_state, data, sel):
+            batch = {k: v[sel] for k, v in data.items()}
             (loss, metrics), grads = jax.value_and_grad(
                 lambda v: segmenter_loss(model, v, batch), has_aux=True
             )(variables)
@@ -297,7 +299,8 @@ def main() -> None:
         last = {}
         for it in range(args.steps):
             sel = jnp.asarray(rng.integers(0, len(X), args.batch))
-            variables, opt_state, loss, metrics = step(variables, opt_state, sel)
+            variables, opt_state, loss, metrics = step(
+                variables, opt_state, data, sel)
             if (it + 1) % 200 == 0 or it == 0:
                 last = {k: float(v) for k, v in metrics.items()}
                 print(f"step {it + 1}: loss {float(loss):.4f} {last}", flush=True)
