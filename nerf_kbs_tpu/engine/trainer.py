@@ -441,6 +441,11 @@ class Trainer:
             t = p_l
             for k in path:
                 t = t[k]
+            if idx >= t.shape[0]:
+                # eval camera index beyond the (num_images, A) table — the
+                # one-hot fetch would silently read zeros and the fit would
+                # be a no-op; skip the protocol rather than emit noise
+                return None
             tables.append(t.at[idx].set(jnp.mean(t, axis=0)))
         opt_state = opt.init(tables)
 
